@@ -1,0 +1,207 @@
+"""Descriptor matching — MXU-tiled L2 distances + on-chip top-2 + ratio test.
+
+This single speed-of-light kernel replaces the reference's entire ANN matcher
+menu (FLANN / KGraph / MRPT / HNSW / brute force, dispatched at
+``src/R3DComputeMatches.cpp:2035-2062``): on TPU, a dense descriptor-distance
+matmul on the MXU with a fused running top-2 beats CPU approximate indices
+outright, so the ANN presets collapse into exact matching (the presets remain
+as accuracy knobs in the pipeline layer, mapped to tile/precision choices).
+
+Matching contract (parity with OpenMVG ``DistanceRatioMatch`` as used at
+``src/R3DComputeMatches.cpp:890``):
+  for each query descriptor a in image I, find its two nearest neighbours in
+  image J under squared L2; keep the pair (a, nn1) iff d1 < ratio^2 * d2.
+
+Shapes are static; invalid (padded) rows are masked with +inf distances.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = float(3.0e38)
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (pure jnp) — correctness oracle & CPU fallback
+# ---------------------------------------------------------------------------
+
+def sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distance matrix. a: (M, D), b: (N, D) -> (M, N)."""
+    aa = jnp.sum(a * a, -1, keepdims=True)
+    bb = jnp.sum(b * b, -1, keepdims=True).T
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(aa + bb - 2.0 * ab, 0.0)
+
+
+def top2_ref(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row two smallest distances and the argmin. d: (M, N).
+    Returns (vals (M, 2), idx1 (M,))."""
+    neg, idx = jax.lax.top_k(-d, 2)
+    return -neg, idx[:, 0]
+
+
+def match_pair_ref(desc_a, mask_a, desc_b, mask_b, ratio: float = 0.8):
+    """Oracle matcher. Returns (idx (M,), d1 (M,), valid (M,))."""
+    d = sqdist(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32))
+    d = jnp.where(mask_b[None, :], d, _BIG)
+    vals, idx1 = top2_ref(d)
+    d1, d2 = vals[:, 0], vals[:, 1]
+    ok = mask_a & (d1 < (ratio * ratio) * d2) & (d1 < _BIG)
+    return idx1, d1, ok
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: fused distance + running top-2
+# ---------------------------------------------------------------------------
+
+def _top2_update(run_d1, run_i1, run_d2, d_tile, col_base):
+    """Merge a (TM, TN) distance tile into running per-row top-2.
+
+    Returns updated (d1, i1, d2). Only the best index is tracked (the ratio
+    test needs d2's value, not its index)."""
+    tn = d_tile.shape[1]
+    t1 = jnp.min(d_tile, axis=1)
+    a1 = jnp.argmin(d_tile, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d_tile.shape, 1)
+    masked = jnp.where(cols == a1[:, None], _BIG, d_tile)
+    t2 = jnp.min(masked, axis=1)
+
+    gidx = col_base + a1
+    # merge (t1, t2) into (run_d1, run_d2)
+    new_d1 = jnp.minimum(run_d1, t1)
+    new_i1 = jnp.where(t1 < run_d1, gidx, run_i1)
+    # second best = min of the three losers
+    cand2 = jnp.where(t1 < run_d1, jnp.minimum(run_d1, t2),
+                      jnp.minimum(run_d2, t1))
+    new_d2 = cand2
+    return new_d1, new_i1, new_d2
+
+
+def _match_kernel(a_ref, b_ref, bnorm_ref, d1_ref, i1_ref, d2_ref,
+                  acc_d1, acc_i1, acc_d2):
+    """Grid: (num_a_tiles, num_b_tiles); b innermost. Running top-2 kept in
+    VMEM scratch across the b dimension; outputs written on the last b step."""
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_d1[:] = jnp.full_like(acc_d1, _BIG)
+        acc_i1[:] = jnp.zeros_like(acc_i1)
+        acc_d2[:] = jnp.full_like(acc_d2, _BIG)
+
+    a = a_ref[:]                     # (TM, D)
+    b = b_ref[:]                     # (TN, D)
+    # -2 a.b^T + |b|^2  (|a|^2 is a per-row constant — added at the end)
+    ab = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    d_tile = bnorm_ref[:] - 2.0 * ab          # (TM, TN), bnorm broadcast row
+    tn = d_tile.shape[1]
+    d1, i1, d2 = _top2_update(acc_d1[:, 0], acc_i1[:, 0], acc_d2[:, 0],
+                              d_tile, j * tn)
+    acc_d1[:, 0] = d1
+    acc_i1[:, 0] = i1
+    acc_d2[:, 0] = d2
+
+    @pl.when(j == nb - 1)
+    def _flush():
+        anorm = jnp.sum(a * a, axis=1)
+        d1_ref[:, 0] = jnp.maximum(acc_d1[:, 0] + anorm, 0.0)
+        i1_ref[:, 0] = acc_i1[:, 0]
+        d2_ref[:, 0] = jnp.maximum(acc_d2[:, 0] + anorm, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n"))
+def l2_top2_pallas(desc_a, desc_b, mask_b, tile_m: int = 256,
+                   tile_n: int = 512):
+    """Fused two-nearest-neighbour search. desc_a: (M, D), desc_b: (N, D),
+    mask_b: (N,) bool. M, N multiples of the tile sizes; D multiple of 128.
+
+    Returns (d1 (M,), i1 (M,), d2 (M,)) — squared L2."""
+    M, D = desc_a.shape
+    N, _ = desc_b.shape
+    assert M % tile_m == 0 and N % tile_n == 0, (M, N, tile_m, tile_n)
+
+    # |b|^2 with +inf on padded rows, as a (1, N) row for broadcast
+    bnorm = jnp.where(mask_b, jnp.sum(desc_b.astype(jnp.float32) ** 2, -1),
+                      _BIG)[None, :]
+
+    grid = (M // tile_m, N // tile_n)
+    # On non-TPU backends (tests) run the kernel in interpreter mode.
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.int32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * D, transcendentals=0,
+            bytes_accessed=4 * (M * D + (M // tile_m) * N * D + 3 * M)),
+        interpret=interpret,
+    )(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32), bnorm)
+    d1, i1, d2 = out
+    return d1[:, 0], i1[:, 0], d2[:, 0]
+
+
+def match_pair(desc_a, mask_a, desc_b, mask_b, ratio: float = 0.8,
+               use_pallas: bool = True, tile_m: int = 256, tile_n: int = 512):
+    """Ratio-test matcher for one image pair, padded static shapes.
+
+    Returns (idx (M,), d1 (M,), valid (M,))."""
+    M = desc_a.shape[0]
+    N = desc_b.shape[0]
+    if use_pallas and M % tile_m == 0 and N % tile_n == 0:
+        d1, i1, d2 = l2_top2_pallas(desc_a, desc_b, mask_b,
+                                    tile_m=tile_m, tile_n=tile_n)
+    else:
+        d = sqdist(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32))
+        d = jnp.where(mask_b[None, :], d, _BIG)
+        vals, i1 = top2_ref(d)
+        d1, d2 = vals[:, 0], vals[:, 1]
+    ok = mask_a & (d1 < (ratio * ratio) * d2) & (d1 < 1e30)
+    return i1, d1, ok
+
+
+def mutual_filter(idx_ab, ok_ab, idx_ba, ok_ba):
+    """Cross-check: keep a->b matches whose b maps back to a."""
+    back = idx_ba[idx_ab]
+    ok_b = ok_ba[idx_ab]
+    M = idx_ab.shape[0]
+    rows = jnp.arange(M, dtype=idx_ab.dtype)
+    return ok_ab & ok_b & (back == rows)
+
+
+# Batched over a block of pairs: descriptors (P, M, D) vs (P, N, D).
+match_pairs_batched = jax.vmap(match_pair,
+                               in_axes=(0, 0, 0, 0, None, None, None, None))
