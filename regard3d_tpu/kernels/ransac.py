@@ -1,0 +1,226 @@
+"""Batched robust estimation — the ACRANSAC stage, TPU style.
+
+Replaces OpenMVG's ``ImageCollectionGeometricFilter`` +
+``GeometricFilter_{F,E,H}Matrix_AC`` robust loops
+(``src/R3DComputeMatches.cpp:2086-2233``: 2048 iterations, 4.0 px upper
+bound) with fixed-shape vectorized estimation:
+
+* all RANSAC samples are drawn at once (top-k over uniforms -> distinct
+  indices), all minimal problems solved as one batched eigen/SVD problem,
+  all residuals evaluated as one (iters, N) tensor;
+* model selection is truncated-MSAC score; the a-contrario part (the "AC")
+  — adaptive inlier threshold by NFA minimization over the sorted residuals
+  — is applied to the winning model, matching ACRANSAC's behaviour of
+  returning a data-driven threshold <= the user bound instead of a fixed one;
+* a masked least-squares refit on the detected inliers polishes the model.
+
+Everything is jit/vmap-friendly: one call filters one pair; ``vmap`` over a
+leading axis filters a block of pairs (P2 pair-block parallelism of
+SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from regard3d_tpu.kernels import geometry
+
+_BIG = 1e30
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray       # (3, 3)
+    inliers: jnp.ndarray     # (N,) bool
+    num_inliers: jnp.ndarray # () int32
+    threshold_sq: jnp.ndarray  # () adaptive squared threshold
+    log_nfa: jnp.ndarray     # () log10 NFA of the accepted model
+    valid: jnp.ndarray       # () bool
+
+
+def _draw_samples(key, mask, iters: int, s: int):
+    """(iters, s) distinct indices of valid entries (top-s of uniforms)."""
+    n = mask.shape[0]
+    u = jax.random.uniform(key, (iters, n))
+    u = jnp.where(mask[None, :], u, -jnp.inf)
+    _, idx = jax.lax.top_k(u, s)
+    return idx
+
+
+def _log10_comb(n, k):
+    """log10 C(n, k) elementwise (float inputs ok)."""
+    lg = jax.lax.lgamma
+    ln10 = jnp.log(10.0)
+    return (lg(n + 1.0) - lg(k + 1.0) - lg(n - k + 1.0)) / ln10
+
+
+def _nfa_threshold(resid_sq, mask, sample_size: int, logalpha0,
+                   err_dim: float, max_err_sq: float):
+    """A-contrario threshold on one model's residuals.
+
+    resid_sq: (N,) squared residuals; returns (threshold_sq, log_nfa, k_star).
+    NFA(k) = (N-s) C(N,k) C(k,s) (alpha0 * r_k^d)^(k-s)  (ORSA)."""
+    n = resid_sq.shape[0]
+    r = jnp.where(mask, resid_sq, _BIG)
+    sorted_r = jnp.sort(r)                                   # ascending
+    nvalid = jnp.sum(mask.astype(jnp.int32))
+    ks = jnp.arange(1, n + 1, dtype=jnp.float32)             # k = rank
+    nf = nvalid.astype(jnp.float32)
+    log_c_n_k = _log10_comb(nf, ks)
+    log_c_k_s = _log10_comb(ks, float(sample_size))
+    # distance^d term: err_dim counts the codimension (1 for point-line)
+    dist = jnp.sqrt(jnp.maximum(sorted_r, 1e-24))
+    lognfa = (jnp.log10(jnp.maximum(nf - sample_size, 1.0))
+              + log_c_n_k + log_c_k_s
+              + (ks - sample_size) * (logalpha0
+                                      + err_dim * jnp.log10(dist)))
+    eligible = ((ks > sample_size) & (ks <= nf)
+                & (sorted_r <= max_err_sq) & (sorted_r < _BIG / 2))
+    lognfa = jnp.where(eligible, lognfa, jnp.inf)
+    k_star = jnp.argmin(lognfa)
+    best = lognfa[k_star]
+    thr = sorted_r[k_star]
+    ok = jnp.isfinite(best)
+    return jnp.where(ok, thr, max_err_sq), jnp.where(ok, best, jnp.inf), k_star
+
+
+def ransac(key, data, mask, fit_fn: Callable, resid_fn: Callable,
+           sample_size: int, iters: int, max_err_sq: float,
+           logalpha0: float, err_dim: float = 1.0,
+           min_inliers: int = 0) -> RansacResult:
+    """Generic vectorized AC-RANSAC.
+
+    data: pytree of (N, ...) arrays; fit_fn(sampled_pytree (S, s, ...)) ->
+    (S, 3, 3) models; resid_fn(models, data) -> (S, N) squared residuals.
+    """
+    n = mask.shape[0]
+    idx = _draw_samples(key, mask, iters, sample_size)       # (S, s)
+    sampled = jax.tree_util.tree_map(lambda a: a[idx], data)
+    models = fit_fn(sampled)                                 # (S, 3, 3)
+    resid = resid_fn(models, data)                           # (S, N)
+    resid = jnp.where(mask[None, :], resid, _BIG)
+
+    # truncated-MSAC score
+    score = jnp.sum(jnp.minimum(resid, max_err_sq), axis=1)
+    best = jnp.argmin(score)
+    model = models[best]
+    r_best = resid[best]
+
+    thr_sq, log_nfa, _ = _nfa_threshold(r_best, mask, sample_size,
+                                        logalpha0, err_dim, max_err_sq)
+    inliers = mask & (r_best <= thr_sq)
+
+    # masked least-squares refit on inliers, then re-derive inliers
+    refit = fit_fn(jax.tree_util.tree_map(lambda a: a[None], data),
+                   weights=inliers[None].astype(jnp.float32))
+    model2 = refit[0]
+    r2 = jnp.where(mask, resid_fn(model2[None], data)[0], _BIG)
+    thr2, nfa2, _ = _nfa_threshold(r2, mask, sample_size, logalpha0,
+                                   err_dim, max_err_sq)
+    better = nfa2 <= log_nfa
+    model = jnp.where(better, model2, model)
+    inliers = jnp.where(better, mask & (r2 <= thr2), inliers)
+    thr_sq = jnp.where(better, thr2, thr_sq)
+    log_nfa = jnp.minimum(nfa2, log_nfa)
+
+    num = jnp.sum(inliers.astype(jnp.int32))
+    valid = (log_nfa < 0.0) & (num >= max(min_inliers, sample_size + 1))
+    return RansacResult(model, inliers, num, thr_sq, log_nfa, valid)
+
+
+# ---------------------------------------------------------------------------
+# Concrete filters (F / E / H / resection)
+# ---------------------------------------------------------------------------
+
+def _logalpha0_line(w: float, h: float) -> float:
+    """alpha0 for point-to-line errors: P(dist<r) ~ 2r * diag / area."""
+    area = w * h
+    diag = math.sqrt(w * w + h * h)
+    return math.log10(2.0 * diag / area)
+
+
+def _logalpha0_point(w: float, h: float) -> float:
+    """alpha0 for point-to-point errors: P(dist<r) ~ pi r^2 / area."""
+    return math.log10(math.pi / (w * h))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "width", "height",
+                                             "max_err_px"))
+def acransac_f(key, x1, x2, mask, width: float, height: float,
+               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
+    """Fundamental-matrix filter (parity: ACRANSAC F, 2048 iters, 4 px,
+    src/R3DComputeMatches.cpp:2099-2110)."""
+    return ransac(
+        key, {"x1": x1, "x2": x2}, mask,
+        fit_fn=lambda d, weights=None: geometry.fit_fundamental_8pt(
+            d["x1"], d["x2"], weights),
+        resid_fn=lambda M, d: geometry.epipolar_dist_f(
+            M, d["x1"][None], d["x2"][None]),
+        sample_size=8, iters=iters, max_err_sq=max_err_px ** 2,
+        logalpha0=_logalpha0_line(width, height), err_dim=1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "focal_px",
+                                             "max_err_px"))
+def acransac_e(key, x1n, x2n, mask, focal_px: float = 1.0,
+               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
+    """Essential-matrix filter on normalized camera coords; the pixel
+    threshold is divided by the focal (parity with OpenMVG's E filter)."""
+    max_err = (max_err_px / focal_px) ** 2
+    return ransac(
+        key, {"x1": x1n, "x2": x2n}, mask,
+        fit_fn=lambda d, weights=None: geometry.fit_essential_8pt(
+            d["x1"], d["x2"], weights),
+        resid_fn=lambda M, d: geometry.epipolar_dist_f(
+            M, d["x1"][None], d["x2"][None]),
+        sample_size=8, iters=iters, max_err_sq=max_err,
+        logalpha0=math.log10(2.0), err_dim=1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "width", "height",
+                                             "max_err_px"))
+def acransac_h(key, x1, x2, mask, width: float, height: float,
+               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
+    """Homography filter (symmetric transfer error, point-to-point alpha0)."""
+    return ransac(
+        key, {"x1": x1, "x2": x2}, mask,
+        fit_fn=lambda d, weights=None: geometry.fit_homography_4pt(
+            d["x1"], d["x2"], weights),
+        resid_fn=lambda M, d: geometry.sym_transfer_h(
+            M, d["x1"][None], d["x2"][None]),
+        sample_size=4, iters=iters, max_err_sq=max_err_px ** 2,
+        logalpha0=_logalpha0_point(width, height), err_dim=2.0)
+
+
+class ResectionResult(NamedTuple):
+    R: jnp.ndarray
+    C: jnp.ndarray
+    inliers: jnp.ndarray
+    num_inliers: jnp.ndarray
+    valid: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "focal_px",
+                                             "max_err_px"))
+def acransac_resection(key, X, xn, mask, focal_px: float = 1.0,
+                       iters: int = 512,
+                       max_err_px: float = 4.0) -> ResectionResult:
+    """Robust 6-point DLT resection on normalized camera coords (the
+    incremental engine's add-view step; OpenMVG uses P3P/EPnP+ACRANSAC)."""
+    max_err = (max_err_px / focal_px) ** 2
+
+    idx = _draw_samples(key, mask, iters, 6)
+    R, C, okm = geometry.resection_dlt(X[idx], xn[idx])
+    resid = geometry.reprojection_err_normalized(R, C, X[None], xn[None])
+    resid = jnp.where(mask[None, :] & okm[:, None], resid, _BIG)
+    score = jnp.sum(jnp.minimum(resid, max_err), axis=1)
+    best = jnp.argmin(score)
+    r_best = resid[best]
+    inliers = mask & (r_best <= max_err)
+    num = jnp.sum(inliers.astype(jnp.int32))
+    valid = okm[best] & (num >= 7)
+    return ResectionResult(R[best], C[best], inliers, num, valid)
