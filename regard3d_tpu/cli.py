@@ -1,0 +1,346 @@
+"""Command-line interface — the controller surface replacing the wx GUI.
+
+Maps the reference's GUI workflow (``Regard3DMainFrame`` orchestration
+methods: addComputeMatches / triangulate / createDensePointcloud /
+createSurface / export*, src/Regard3DMainFrame.h:80-186) onto subcommands:
+
+    r3d init <dir>                       create a project
+    r3d import <dir> <images...>         add a picture set (EXIF+sensor DB)
+    r3d matches <dir> [options]          feature extraction + matching
+    r3d sfm <dir> [options]              triangulation (incremental/global)
+    r3d export <dir> --format ...        exporter menu
+    r3d densify <dir> [options]          external MVS (CMVS/PMVS, MVE, SMVS)
+    r3d surface <dir> [options]          external surface + texturing
+    r3d info <dir>                       show the project tree
+
+Run ``python -m regard3d_tpu.cli --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+
+def _params(args):
+    """JSON-safe copy of the argparse namespace for the project store."""
+    return {k: v for k, v in vars(args).items()
+            if k not in ("fn", "project")
+            and isinstance(v, (str, int, float, bool, list, type(None)))}
+
+
+def _progress(label):
+    def cb(done, total):
+        sys.stderr.write(f"\r{label}: {done}/{total}    ")
+        sys.stderr.flush()
+        if done == total:
+            sys.stderr.write("\n")
+    return cb
+
+
+def cmd_init(args):
+    from regard3d_tpu.pipeline.project import Project
+    Project.create(args.project)
+    print(f"created project at {args.project}")
+
+
+def cmd_import(args):
+    from regard3d_tpu.ingest import exif as exif_mod, intrinsics, sensor_db
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    infos = []
+    udb = None
+    if args.user_camera_db:
+        udb = sensor_db.UserCameraDB(args.user_camera_db)
+    sdb = sensor_db.SensorDB(args.sensor_db)
+    for path in args.images:
+        info = exif_mod.read_exif(path)
+        width_mm = sensor_db.lookup_sensor_width(info.maker, info.model,
+                                                 udb, sdb)
+        vi = intrinsics.focal_prior(info, width_mm)
+        infos.append({
+            "path": os.path.abspath(path), "width": info.width,
+            "height": info.height, "maker": info.maker, "model": info.model,
+            "focal_mm": info.focal_length_mm, "sensor_width_mm": width_mm,
+            "focal_px": vi.focal_px, "from_exif": vi.from_exif,
+            "gps": ([info.latitude, info.longitude, info.altitude]
+                    if info.has_gps else None),
+        })
+    ps = p.add_picture_set(args.name, [i["path"] for i in infos])
+    ps.params["image_info"] = infos
+    p.save()
+    n_exif = sum(1 for i in infos if i["from_exif"])
+    print(f"picture set {ps.id}: {len(infos)} images "
+          f"({n_exif} with EXIF focal priors)")
+
+
+def _load_pictureset(p, ps_id=None):
+    sets = [o for o in p.objects.values() if o.kind == "pictureset"]
+    if not sets:
+        raise SystemExit("no picture set — run `import` first")
+    ps = p.objects[ps_id] if ps_id is not None else sets[-1]
+    infos = ps.params["image_info"]
+    from regard3d_tpu.ingest import image_io
+    images = [image_io.load_gray(i["path"]) for i in infos]
+    return ps, infos, images
+
+
+def cmd_matches(args):
+    from regard3d_tpu.pipeline import compute_matches as cm
+    from regard3d_tpu.pipeline.features import SENSITIVITY_PRESETS
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    ps, infos, images = _load_pictureset(p)
+    obj = p.add_compute_matches(ps.id, _params(args))
+    out_dir = p.prepare(obj.id)
+    t0 = time.time()
+    try:
+        thr = SENSITIVITY_PRESETS.get(args.sensitivity, 0.0007)
+        focals = np.asarray([i["focal_px"] for i in infos])
+        stats = cm.run_compute_matches(
+            images, out_dir, threshold=thr,
+            cfg=cm.MatchConfig(ratio=args.ratio, matcher=args.matcher,
+                               ransac_iters=args.ransac_iters),
+            focals=focals, max_keypoints=args.max_keypoints,
+            progress=_progress("matching"))
+    except Exception as e:
+        p.fail(obj.id, str(e))
+        raise
+    p.finish(obj.id, stats, time.time() - t0)
+    print(json.dumps(stats, indent=1, default=str))
+
+
+def cmd_sfm(args):
+    from regard3d_tpu.core.types import CAMERA_MODEL_CODES
+    from regard3d_tpu.ingest import intrinsics as intr_mod
+    from regard3d_tpu.pipeline import triangulation_step as ts
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    m_objs = [o for o in p.objects.values() if o.kind == "matches"
+              and o.state == "finished"]
+    if not m_objs:
+        raise SystemExit("no finished compute-matches step")
+    mobj = m_objs[-1]
+    ps, infos, images = _load_pictureset(p, mobj.parent_id)
+
+    model_code = CAMERA_MODEL_CODES[args.camera_model]
+    views = [intr_mod.ViewIntrinsics(i["focal_px"], i["width"], i["height"],
+                                     model_code, i["from_exif"])
+             for i in infos]
+    intr_id, params, models, widths, heights = intr_mod.build_intrinsics(
+        views, model_code)
+
+    obj = p.add_triangulation(mobj.id, _params(args))
+    out_dir = p.prepare(obj.id)
+    t0 = time.time()
+    try:
+        initial_pair = None
+        if args.initial_pair:
+            a, b = args.initial_pair.split(",")
+            initial_pair = (int(a), int(b))
+        stats = ts.run_triangulation(
+            p.paths(mobj.id).matches_dir, out_dir, images,
+            intr_id, params, models,
+            params=ts.TriangulationParams(
+                engine=args.engine, initial_pair=initial_pair,
+                rotation_averaging=args.rotation_averaging,
+                translation_averaging=args.translation_averaging,
+                refine_intrinsics=not args.no_refine_intrinsics),
+            image_names=[os.path.basename(i["path"]) for i in infos])
+    except Exception as e:
+        p.fail(obj.id, str(e))
+        raise
+    p.finish(obj.id, stats, time.time() - t0)
+    print(json.dumps(stats, indent=1, default=str))
+
+
+def cmd_export(args):
+    from regard3d_tpu.core import sfm_data
+    from regard3d_tpu.export import formats
+    from regard3d_tpu.ingest import image_io
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    t_objs = [o for o in p.objects.values() if o.kind == "triangulation"
+              and o.state == "finished"]
+    if not t_objs:
+        raise SystemExit("no finished triangulation")
+    tobj = t_objs[-1]
+    scene = sfm_data.load_npz(p.paths(tobj.id).scene_npz)
+    ps, infos, _ = _load_pictureset(
+        p, p.objects[tobj.parent_id].parent_id)
+    names = [os.path.basename(i["path"]) for i in infos]
+    out = args.out or os.path.join(p.project_dir, f"export_{args.format}")
+    os.makedirs(out, exist_ok=True)
+    if args.format in ("pmvs", "bundler", "mve", "meshlab"):
+        images = [image_io.load_rgb(i["path"]) for i in infos]
+    if args.format == "bundler":
+        formats.export_bundler(out, scene, names)
+    elif args.format == "pmvs":
+        formats.export_bundler(out, scene, names)
+        formats.export_pmvs(out, scene, images)
+    elif args.format == "nvm":
+        formats.export_nvm(os.path.join(out, "scene.nvm"), scene, names)
+    elif args.format == "meshlab":
+        formats.export_meshlab(out, scene, [i["path"] for i in infos])
+    elif args.format == "mve":
+        formats.export_mve2(out, scene, images, names)
+    elif args.format == "openmvs":
+        from regard3d_tpu.export import openmvs
+        openmvs.export_openmvs(os.path.join(out, "scene.mvs"), scene, names)
+    else:
+        raise SystemExit(f"unknown format {args.format}")
+    print(f"exported {args.format} to {out}")
+
+
+def cmd_densify(args):
+    from regard3d_tpu.pipeline import external
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    t_objs = [o for o in p.objects.values() if o.kind == "triangulation"
+              and o.state == "finished"]
+    if not t_objs:
+        raise SystemExit("no finished triangulation")
+    tobj = t_objs[-1]
+    obj = p.add_densification(tobj.id, _params(args))
+    out_dir = p.prepare(obj.id)
+    t0 = time.time()
+    try:
+        stats = external.run_densification(p, tobj.id, out_dir, args)
+    except Exception as e:
+        p.fail(obj.id, str(e))
+        raise
+    p.finish(obj.id, stats, time.time() - t0)
+    print(json.dumps(stats, indent=1, default=str))
+
+
+def cmd_surface(args):
+    from regard3d_tpu.pipeline import external
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    d_objs = [o for o in p.objects.values() if o.kind == "densification"
+              and o.state == "finished"]
+    if not d_objs:
+        raise SystemExit("no finished densification")
+    dobj = d_objs[-1]
+    obj = p.add_surface(dobj.id, _params(args))
+    out_dir = p.prepare(obj.id)
+    t0 = time.time()
+    try:
+        stats = external.run_surface(p, dobj.id, out_dir, args)
+    except Exception as e:
+        p.fail(obj.id, str(e))
+        raise
+    p.finish(obj.id, stats, time.time() - t0)
+    print(json.dumps(stats, indent=1, default=str))
+
+
+def cmd_info(args):
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    for o in sorted(p.objects.values(), key=lambda o: o.id):
+        depth = len(p.ancestors(o.id))
+        extra = ""
+        if o.kind == "pictureset":
+            extra = f" ({len(p.image_lists.get(o.id, []))} images)"
+        print("  " * depth + f"[{o.id}] {o.kind}{extra} — {o.state}"
+              + (f" ({o.running_time_s:.1f}s)" if o.running_time_s else ""))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="r3d",
+                                 description="TPU-native SfM pipeline")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("init")
+    s.add_argument("project")
+    s.set_defaults(fn=cmd_init)
+
+    s = sub.add_parser("import")
+    s.add_argument("project")
+    s.add_argument("images", nargs="+")
+    s.add_argument("--name", default="pictures")
+    s.add_argument("--sensor-db", default=None)
+    s.add_argument("--user-camera-db", default=None)
+    s.set_defaults(fn=cmd_import)
+
+    s = sub.add_parser("matches")
+    s.add_argument("project")
+    s.add_argument("--sensitivity", default="normal",
+                   choices=["minimal", "normal", "high", "ultra"])
+    s.add_argument("--ratio", type=float, default=0.8,
+                   choices=None)
+    s.add_argument("--matcher", default="brute-force")
+    s.add_argument("--max-keypoints", type=int, default=4096)
+    s.add_argument("--ransac-iters", type=int, default=1024)
+    s.set_defaults(fn=cmd_matches)
+
+    s = sub.add_parser("sfm")
+    s.add_argument("project")
+    s.add_argument("--engine", default="incremental2",
+                   choices=["incremental", "incremental2", "global"])
+    s.add_argument("--initial-pair", default=None,
+                   help="view ids 'a,b' (incremental v1)")
+    s.add_argument("--camera-model", default="radial_k3",
+                   choices=["pinhole", "radial_k1", "radial_k3",
+                            "brown_t2", "fisheye"])
+    s.add_argument("--rotation-averaging", default="l2",
+                   choices=["l1", "l2"])
+    s.add_argument("--translation-averaging", default="softl1",
+                   choices=["l1", "l2_chordal", "softl1"])
+    s.add_argument("--no-refine-intrinsics", action="store_true")
+    s.set_defaults(fn=cmd_sfm)
+
+    s = sub.add_parser("export")
+    s.add_argument("project")
+    s.add_argument("--format", required=True,
+                   choices=["bundler", "pmvs", "nvm", "meshlab", "mve",
+                            "openmvs"])
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("densify")
+    s.add_argument("project")
+    s.add_argument("--method", default="pmvs",
+                   choices=["pmvs", "mve", "smvs"])
+    s.add_argument("--level", type=int, default=1)
+    s.add_argument("--csize", type=int, default=2)
+    s.add_argument("--threshold", type=float, default=0.7)
+    s.add_argument("--wsize", type=int, default=7)
+    s.add_argument("--min-image-num", type=int, default=3)
+    s.add_argument("--use-cmvs", action="store_true")
+    s.add_argument("--max-cluster-size", type=int, default=100)
+    s.add_argument("--scale", type=int, default=2, help="MVE scale")
+    s.set_defaults(fn=cmd_densify)
+
+    s = sub.add_parser("surface")
+    s.add_argument("project")
+    s.add_argument("--method", default="poisson",
+                   choices=["poisson", "fssr"])
+    s.add_argument("--depth", type=int, default=9)
+    s.add_argument("--samples-per-node", type=float, default=1.0)
+    s.add_argument("--point-weight", type=float, default=4.0)
+    s.add_argument("--trim-threshold", type=float, default=7.0)
+    s.add_argument("--colorize", default="vertices",
+                   choices=["vertices", "textures"])
+    s.add_argument("--color-neighbors", type=int, default=3)
+    s.set_defaults(fn=cmd_surface)
+
+    s = sub.add_parser("info")
+    s.add_argument("project")
+    s.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -293,3 +293,31 @@ def triangulate_nview(R, C, b, mask):
     X = jnp.linalg.solve(A + 1e-9 * eye, rhs[..., None])[..., 0]
     nviews = jnp.sum(mask.astype(jnp.int32))
     return X, nviews >= 2
+
+
+def refine_pose(R, C, X, xn, w, iters: int = 10, damping: float = 1e-6):
+    """Gauss–Newton pose polish on weighted 3D-2D correspondences in
+    normalized coords (the post-RANSAC nonlinear refinement OpenMVG runs
+    inside its resection).  R: (3,3), C: (3,), X: (N,3), xn: (N,2),
+    w: (N,) weights. Returns (R, C)."""
+
+    def residual(dw, dC, R, C):
+        Rn = cameras.exp_so3(dw) @ R
+        Cn = C + dC
+        xc = jnp.einsum("ij,nj->ni", Rn, X - Cn)
+        z = jnp.where(jnp.abs(xc[:, 2]) > 1e-9, xc[:, 2], 1e-9)
+        return (xc[:, :2] / z[:, None] - xn) * w[:, None]
+
+    z3 = jnp.zeros(3, X.dtype)
+
+    def body(_, carry):
+        R, C = carry
+        J = jax.jacfwd(residual, argnums=(0, 1))(z3, z3, R, C)
+        Jm = jnp.concatenate([J[0].reshape(-1, 3), J[1].reshape(-1, 3)], -1)
+        r = residual(z3, z3, R, C).reshape(-1)
+        H = Jm.T @ Jm + damping * jnp.eye(6, dtype=X.dtype)
+        g = Jm.T @ r
+        d = -jnp.linalg.solve(H, g[:, None])[:, 0]
+        return cameras.exp_so3(d[:3]) @ R, C + d[3:]
+
+    return jax.lax.fori_loop(0, iters, body, (R, C))

@@ -221,6 +221,26 @@ def acransac_resection(key, X, xn, mask, focal_px: float = 1.0,
     best = jnp.argmin(score)
     r_best = resid[best]
     inliers = mask & (r_best <= max_err)
-    num = jnp.sum(inliers.astype(jnp.int32))
+
+    # Gauss-Newton polish on the inlier set (DLT alone is noise-sensitive),
+    # then recount inliers with the refined pose
+    w = inliers.astype(X.dtype)
+    Rb, Cb = geometry.refine_pose(R[best], C[best], X, xn, w, iters=10)
+    r2 = geometry.reprojection_err_normalized(Rb[None], Cb[None], X[None],
+                                              xn[None])[0]
+    r2 = jnp.where(mask, r2, _BIG)
+    inliers2 = mask & (r2 <= max_err)
+    # second refinement round on the (possibly larger) consensus set
+    Rb2, Cb2 = geometry.refine_pose(Rb, Cb, X, xn,
+                                    inliers2.astype(X.dtype), iters=5)
+    r3 = jnp.where(mask, geometry.reprojection_err_normalized(
+        Rb2[None], Cb2[None], X[None], xn[None])[0], _BIG)
+    inliers3 = mask & (r3 <= max_err)
+
+    better = jnp.sum(inliers3) >= jnp.sum(inliers)
+    Rf = jnp.where(better, Rb2, R[best])
+    Cf = jnp.where(better, Cb2, C[best])
+    inl = jnp.where(better, inliers3, inliers)
+    num = jnp.sum(inl.astype(jnp.int32))
     valid = okm[best] & (num >= 7)
-    return ResectionResult(R[best], C[best], inliers, num, valid)
+    return ResectionResult(Rf, Cf, inl, num, valid)

@@ -1,0 +1,183 @@
+"""Triangulation (SfM) stage driver.
+
+Rebuilds ``R3DTriangulationThread`` (src/threads/R3DTriangulationThread.cpp):
+load features + filtered matches -> tracks -> SfM engine (incremental v1
+with user initial pair / incremental v2 auto-init / global with averaging
+menus) -> outputs: scene.npz (sfm_data.bin role), sfm_data.json,
+cloud_and_poses.ply, FinalColorized.ply, Reconstruction_Report.html,
+residual statistics (:634-679 parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from regard3d_tpu.core import metrics, sfm_data
+from regard3d_tpu.core.types import Scene, RADIAL_K3
+from regard3d_tpu.export import ply as ply_mod
+from regard3d_tpu.pipeline import compute_matches as cm
+from regard3d_tpu.pipeline import features as feat_mod
+from regard3d_tpu.pipeline.report import write_html_report
+from regard3d_tpu.sfm import global_sfm, incremental, tracks as tracks_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class TriangulationParams:
+    """Engine menu parity (src/R3DProject.h:258-266)."""
+    engine: str = "incremental2"      # incremental | incremental2 | global
+    initial_pair: Optional[Tuple[int, int]] = None     # incremental v1
+    rotation_averaging: str = "l2"                     # global: l1 | l2
+    translation_averaging: str = "softl1"  # l1 | l2_chordal | softl1
+    refine_intrinsics: bool = True
+    use_gps: bool = False
+    matches_kind: str = "f"           # global engine requires "e" (:222)
+
+
+def build_sfm_inputs(matches_dir: str, num_images: int,
+                     intr_id: np.ndarray, intr: np.ndarray,
+                     models: np.ndarray, image_sizes: np.ndarray,
+                     matches_kind: str = "f"):
+    """Features + match files -> tracks -> static SfMInputs."""
+    matches = cm.load_matches_txt(
+        os.path.join(matches_dir, f"matches.{matches_kind}.txt"))
+    table = tracks_mod.build_tracks(matches)
+    xy = np.zeros((len(table.track_id), 2), np.float32)
+    feats = [feat_mod.load_features(matches_dir, i)[0]
+             for i in range(num_images)]
+    for o in range(len(table.track_id)):
+        xy[o] = feats[table.view_id[o]][table.feature_id[o]]
+    return incremental.SfMInputs(
+        xy=jnp.asarray(xy),
+        track_id=jnp.asarray(table.track_id),
+        view_id=jnp.asarray(table.view_id),
+        feature_id=jnp.asarray(table.feature_id),
+        num_tracks=table.num_tracks,
+        intr_id=jnp.asarray(intr_id),
+        intr=jnp.asarray(intr),
+        models=jnp.asarray(models),
+        image_sizes=image_sizes,
+    ), table
+
+
+def result_to_scene(result: incremental.SfMResult,
+                    inputs: incremental.SfMInputs,
+                    image_sizes: np.ndarray,
+                    colors: Optional[np.ndarray] = None) -> Scene:
+    """Pack an engine result into the persistent Scene container."""
+    V = len(image_sizes)
+    T = inputs.num_tracks
+    O = inputs.xy.shape[0]
+    s = Scene.empty(V, int(np.asarray(inputs.intr).shape[0]), T, O)
+    tid = np.asarray(inputs.track_id)
+    vid = np.asarray(inputs.view_id)
+    live = (result.obs_active & result.track_ok[tid] & result.pose_mask[vid])
+    s = s.replace(
+        views=s.views.replace(
+            width=jnp.asarray(image_sizes[:, 0].astype(np.int32)),
+            height=jnp.asarray(image_sizes[:, 1].astype(np.int32)),
+            intrinsic_id=jnp.asarray(inputs.intr_id),
+            mask=jnp.ones((V,), bool)),
+        intrinsics=s.intrinsics.replace(
+            model=jnp.asarray(inputs.models),
+            params=jnp.asarray(result.intr),
+            mask=jnp.ones((np.asarray(inputs.intr).shape[0],), bool)),
+        poses=s.poses.replace(
+            R=result.R, C=result.C, mask=jnp.asarray(result.pose_mask)),
+        landmarks=s.landmarks.replace(
+            X=result.X,
+            color=(jnp.asarray(colors) if colors is not None
+                   else jnp.full((T, 3), 0.8)),
+            mask=jnp.asarray(result.track_ok)),
+        observations=s.observations.replace(
+            landmark_id=jnp.asarray(tid),
+            view_id=jnp.asarray(vid),
+            xy=inputs.xy,
+            feature_id=jnp.asarray(inputs.feature_id),
+            mask=jnp.asarray(live)),
+    )
+    return s
+
+
+def colorize_tracks(inputs, result, images: Sequence[np.ndarray]
+                    ) -> np.ndarray:
+    """Track colors from the first observing image (ColorizeTracks parity,
+    src/utils/OpenMVGHelper.cpp:2453). images: gray or RGB float arrays."""
+    T = inputs.num_tracks
+    colors = np.full((T, 3), 0.8, np.float32)
+    tid = np.asarray(inputs.track_id)
+    vid = np.asarray(inputs.view_id)
+    xy = np.asarray(inputs.xy)
+    seen = np.zeros(T, bool)
+    order = np.argsort(tid, kind="stable")
+    for o in order:
+        t = tid[o]
+        if seen[t] or not result.track_ok[t]:
+            continue
+        v = vid[o]
+        img = images[v]
+        x = int(np.clip(round(xy[o, 0]), 0, img.shape[1] - 1))
+        y = int(np.clip(round(xy[o, 1]), 0, img.shape[0] - 1))
+        c = img[y, x]
+        colors[t] = c if np.ndim(c) else (c, c, c)
+        seen[t] = True
+    return colors
+
+
+def run_triangulation(matches_dir: str, out_dir: str,
+                      images: Sequence[np.ndarray],
+                      intr_id: np.ndarray, intr: np.ndarray,
+                      models: np.ndarray,
+                      params: TriangulationParams = TriangulationParams(),
+                      image_names: Optional[List[str]] = None,
+                      seed: int = 0) -> Dict:
+    """Full triangulation step; writes artifacts; returns stats."""
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    image_sizes = np.asarray([[im.shape[1], im.shape[0]] for im in images])
+
+    kind = "e" if params.engine == "global" else params.matches_kind
+    inputs, table = build_sfm_inputs(matches_dir, len(images), intr_id, intr,
+                                     models, image_sizes, kind)
+
+    if params.engine == "global":
+        result = global_sfm.run_global(
+            inputs, global_sfm.GlobalConfig(
+                rotation_loss=params.rotation_averaging,
+                translation_loss=params.translation_averaging,
+                refine_intrinsics=params.refine_intrinsics), seed=seed)
+    else:
+        init = params.initial_pair if params.engine == "incremental" else None
+        result = incremental.run_incremental(
+            inputs, initial_pair=init,
+            cfg=incremental.IncrementalConfig(
+                refine_intrinsics=params.refine_intrinsics), seed=seed)
+
+    colors = colorize_tracks(inputs, result, images)
+    scene = result_to_scene(result, inputs, image_sizes, colors)
+
+    # artifacts (contract parity, SURVEY.md §A.4)
+    sfm_data.save_npz(os.path.join(out_dir, "scene.npz"), scene)
+    sfm_data.save_json(os.path.join(out_dir, "sfm_data.json"), scene,
+                       image_names)
+    ok = np.asarray(result.track_ok)
+    ply_mod.export_cloud_and_poses(
+        os.path.join(out_dir, "cloud_and_poses.ply"),
+        np.asarray(result.X)[ok],
+        np.clip(colors[ok] * 255, 0, 255).astype(np.uint8),
+        np.asarray(result.C)[result.pose_mask])
+    ply_mod.write_ply(os.path.join(out_dir, "FinalColorized.ply"),
+                      ply_mod.PlyData(
+                          xyz=np.asarray(result.X)[ok],
+                          rgb=np.clip(colors[ok] * 255, 0,
+                                      255).astype(np.uint8)))
+    stats = dict(result.stats)
+    stats["elapsed_s"] = time.time() - t0
+    write_html_report(os.path.join(out_dir, "Reconstruction_Report.html"),
+                      stats, params)
+    return stats

@@ -1,0 +1,327 @@
+"""Global SfM — rotation & translation averaging.
+
+Equivalent of OpenMVG's ``GlobalSfMReconstructionEngine_RelativeMotions``
+driven by the reference (``src/threads/R3DTriangulationThread.cpp:227-248``)
+with its GUI menus: rotation averaging L1 | L2 and translation averaging
+L1 | L2-chordal | SoftL1 (``src/R3DProject.h:258-266``).
+
+TPU formulation — both averaging problems become dense spectral problems
+(batched einsum + eigh on the MXU), with IRLS reweighting for the robust
+(L1/SoftL1) variants:
+
+* rotations: the block matrix G with G[i,j] = w_ij * R_ij^T has the stacked
+  global rotations as its dominant 3-eigenspace (Arie-Nachimson/Martinec
+  spectral relaxation); each 3x3 block of the eigenvector matrix is
+  projected back to SO(3) by Procrustes, and IRLS reweights pairs by their
+  chordal residual for L1.
+* translations: every pair constrains C_j - C_i to the line spanned by its
+  relative direction d_ij: ||[d_ij]_x (C_j - C_i)||^2.  The constraint
+  matrix's null-space (smallest eigenvectors of A^T A with the centroid
+  gauge removed) yields all centers at once, IRLS for L1/SoftL1; the global
+  sign is fixed by majority cheirality.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regard3d_tpu.ba import lm
+from regard3d_tpu.core import cameras
+from regard3d_tpu.kernels import geometry, ransac
+from regard3d_tpu.sfm import incremental as inc
+from regard3d_tpu.sfm import tracks as tracks_mod
+from regard3d_tpu.sfm.triangulate import (reprojection_residuals_px,
+                                          triangulate_tracks)
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalConfig:
+    rotation_loss: str = "l2"          # "l1" | "l2"
+    translation_loss: str = "softl1"   # "l1" | "l2_chordal" | "softl1"
+    irls_iterations: int = 8
+    min_pair_inliers: int = 30
+    max_err_px: float = 4.0
+    ransac_iters: int = 1024
+    ba_iterations: int = 40
+    refine_intrinsics: bool = True
+    huber_delta_px: float = 2.0
+    min_angle_deg: float = 2.0
+
+
+class RelativeMotion(NamedTuple):
+    i: int
+    j: int
+    R_ij: np.ndarray      # (3,3): R_j = R_ij @ R_i
+    dir_i: np.ndarray     # (3,): direction of (C_j - C_i) in camera-i frame
+    num_inliers: int
+    obs_i: np.ndarray     # observation rows in view i (inliers)
+    obs_j: np.ndarray
+
+
+def average_rotations(motions: List[RelativeMotion], V: int,
+                      loss: str = "l2", irls_iterations: int = 8
+                      ) -> np.ndarray:
+    """Spectral rotation averaging (+IRLS for l1). Returns (V, 3, 3) with
+    R[anchor] aligned so rotations are gauge-fixed to camera 0 = identity."""
+    idx_i = np.asarray([m.i for m in motions])
+    idx_j = np.asarray([m.j for m in motions])
+    Rij = jnp.asarray(np.stack([m.R_ij for m in motions]))      # (P, 3, 3)
+    w = jnp.asarray([float(m.num_inliers) for m in motions])
+    w = w / jnp.max(w)
+
+    def solve(weights):
+        G = jnp.zeros((V, V, 3, 3), Rij.dtype)
+        # R_j = R_ij R_i  =>  blocks G[j,i] += w R_ij ; G[i,j] += w R_ij^T
+        G = G.at[idx_j, idx_i].add(weights[:, None, None] * Rij)
+        G = G.at[idx_i, idx_j].add(
+            weights[:, None, None] * jnp.swapaxes(Rij, -1, -2))
+        deg = jnp.zeros((V,), Rij.dtype).at[idx_i].add(weights) \
+                                        .at[idx_j].add(weights)
+        G = G + jnp.eye(V)[:, :, None, None] * \
+            (deg[:, None, None, None] * jnp.eye(3)[None, None])
+        Gm = G.transpose(0, 2, 1, 3).reshape(3 * V, 3 * V)
+        evals, evecs = jnp.linalg.eigh(Gm)
+        M = evecs[:, -3:].reshape(V, 3, 3)                      # top 3-space
+        # blocks are R_i @ (c Q) for a shared mixing Q with det = +-1; when
+        # det(Q) < 0 the per-block SO(3) projection is non-unique (equal
+        # singular values) and flips blocks inconsistently — fix the global
+        # orientation first by flipping one eigenvector column
+        s = jnp.sign(jnp.sum(jnp.sign(jnp.linalg.det(M))))
+        M = M.at[:, :, 2].multiply(jnp.where(s < 0, -1.0, 1.0))
+        R = cameras.project_so3(M)
+        return R
+
+    def residual_weights(R, base_w):
+        # chordal residual per pair
+        Rj_pred = jnp.einsum("pij,pjk->pik", Rij, R[idx_i])
+        res = jnp.linalg.norm((Rj_pred - R[idx_j]).reshape(len(motions), 9),
+                              axis=-1)
+        return base_w / jnp.maximum(res, 1e-2)
+
+    R = solve(w)
+    if loss == "l1":
+        for _ in range(irls_iterations):
+            R = solve(residual_weights(R, w))
+    # gauge: R0 -> identity
+    R = jnp.einsum("vij,kj->vik", R, R[0])
+    # sign: ensure proper rotations survived projection (they do), align dets
+    return np.asarray(R)
+
+
+def average_translations(motions: List[RelativeMotion], R_global: np.ndarray,
+                         V: int, loss: str = "softl1",
+                         irls_iterations: int = 8) -> np.ndarray:
+    """Solve for camera centers from pairwise direction constraints.
+    Returns (V, 3) centers, gauge: centroid 0, scale ||C||_rms = 1, sign by
+    majority cheirality."""
+    idx_i = np.asarray([m.i for m in motions])
+    idx_j = np.asarray([m.j for m in motions])
+    # world-frame direction of (C_j - C_i): d_w = R_i^T d_i
+    dirs = np.stack([m.dir_i for m in motions])
+    d_w = np.einsum("pji,pj->pi", R_global[idx_i], dirs)
+    d_w = jnp.asarray(d_w / np.linalg.norm(d_w, axis=-1, keepdims=True))
+    P = len(motions)
+    base_w = jnp.asarray([float(m.num_inliers) for m in motions])
+    base_w = jnp.sqrt(base_w / jnp.max(base_w))
+
+    cross = cameras.hat(d_w)                                    # (P, 3, 3)
+
+    def solve(weights):
+        # rows: w * [d]_x (C_j - C_i) = 0  -> build normal matrix directly
+        Wc = cross * weights[:, None, None]
+        # A^T A = sum over pairs of block structure
+        CC = jnp.einsum("pki,pkj->pij", Wc, Wc)                  # (P, 3, 3)
+        AtA = jnp.zeros((V, V, 3, 3), d_w.dtype)
+        AtA = AtA.at[idx_i, idx_i].add(CC)
+        AtA = AtA.at[idx_j, idx_j].add(CC)
+        AtA = AtA.at[idx_i, idx_j].add(-CC)
+        AtA = AtA.at[idx_j, idx_i].add(-CC)
+        M = AtA.transpose(0, 2, 1, 3).reshape(3 * V, 3 * V)
+        # remove the translation gauge (3-dim nullspace: constant shifts):
+        # project onto centroid-zero subspace by adding penalty on the mean
+        ones = jnp.tile(jnp.eye(3), (V, 1)) / V                  # (3V, 3)
+        M = M + (ones @ ones.T) * jnp.trace(M) / V
+        evals, evecs = jnp.linalg.eigh(M)
+        C = evecs[:, 0].reshape(V, 3)
+        return C
+
+    def residual_weights(C, base_w):
+        diff = C[idx_j] - C[idx_i]
+        res = jnp.linalg.norm(jnp.einsum("pij,pj->pi", cross, diff), axis=-1)
+        scale = jnp.linalg.norm(diff, axis=-1).mean()
+        if loss == "softl1":
+            return base_w / jnp.sqrt(jnp.sqrt(1.0 + (res / (0.01 * scale +
+                                                            1e-12)) ** 2))
+        return base_w / jnp.maximum(res, 1e-3 * scale)
+
+    C = solve(base_w)
+    if loss in ("l1", "softl1"):
+        for _ in range(irls_iterations):
+            C = solve(residual_weights(C, base_w))
+
+    # fix sign: majority of pairs should have dot(C_j - C_i, d_w) > 0
+    diff = C[idx_j] - C[idx_i]
+    s = jnp.sum(jnp.sign(jnp.sum(diff * d_w, -1)))
+    C = C * jnp.where(s < 0, -1.0, 1.0)
+    C = C - C.mean(0)
+    C = C / jnp.maximum(jnp.linalg.norm(C, axis=-1).mean(), 1e-12)
+    return np.asarray(C)
+
+
+def compute_relative_motions(inputs: inc.SfMInputs,
+                             table: tracks_mod.TrackTable,
+                             cfg: GlobalConfig, key,
+                             num_views: int) -> List[RelativeMotion]:
+    """Robust E per co-visible pair -> relative rotation + direction."""
+    counts = tracks_mod.shared_track_count(table, num_views)
+    xn = np.asarray(inc._normalized_xy(inputs, inputs.intr))
+    motions = []
+    for i in range(num_views):
+        for j in range(i + 1, num_views):
+            if counts[i, j] < cfg.min_pair_inliers:
+                continue
+            key, k = jax.random.split(key)
+            res = inc._two_view_geometry(inputs, xn, i, j, k,
+                                         _cfg_for_pairs(cfg))
+            if res is None:
+                continue
+            E, (oi, oj, inl_pad, n), _, n_inl = res
+            if int(n_inl) < cfg.min_pair_inliers:
+                continue
+            inl = np.asarray(inl_pad)[:n]
+            x1 = jnp.asarray(xn[oi[inl]])
+            x2 = jnp.asarray(xn[oj[inl]])
+            Rrel, trel, _ = geometry.decompose_essential(
+                E[None], x1[None], x2[None])
+            R_ij = np.asarray(Rrel[0])
+            # C_j in cam-i frame: -R^T t; direction of C_j - C_i in cam-i
+            Cj_i = -R_ij.T @ np.asarray(trel[0])
+            nrm = np.linalg.norm(Cj_i)
+            if nrm < 1e-9:
+                continue
+            motions.append(RelativeMotion(i, j, R_ij, Cj_i / nrm,
+                                          int(n_inl), oi[inl], oj[inl]))
+    return motions
+
+
+def _cfg_for_pairs(cfg: GlobalConfig) -> inc.IncrementalConfig:
+    return inc.IncrementalConfig(max_err_px=cfg.max_err_px,
+                                 ransac_iters=cfg.ransac_iters)
+
+
+def run_global(inputs: inc.SfMInputs,
+               cfg: GlobalConfig = GlobalConfig(),
+               seed: int = 0) -> inc.SfMResult:
+    """Full global pipeline: relative motions -> rotation averaging ->
+    translation averaging -> triangulation -> BA."""
+    key = jax.random.PRNGKey(seed)
+    V = inputs.intr_id.shape[0]
+    T = inputs.num_tracks
+    O = inputs.xy.shape[0]
+    dtype = inputs.xy.dtype
+
+    table = tracks_mod.TrackTable(np.asarray(inputs.track_id),
+                                  np.asarray(inputs.view_id),
+                                  np.asarray(inputs.feature_id), T)
+
+    motions = compute_relative_motions(inputs, table, cfg, key, V)
+    if not motions:
+        raise ValueError("no relative motions could be estimated")
+    connected = sorted({m.i for m in motions} | {m.j for m in motions})
+    if len(connected) < V:
+        # keep going with the connected subset; others stay unposed
+        pass
+
+    R_glob = average_rotations(motions, V, cfg.rotation_loss,
+                               cfg.irls_iterations)
+    C_glob = average_translations(motions, R_glob, V, cfg.translation_loss,
+                                  cfg.irls_iterations)
+
+    # scale heuristic: translation averaging returns unit-rms centers; the
+    # absolute scale is a free gauge (as in any SfM); keep as-is.
+    R = jnp.asarray(R_glob, dtype)
+    C = jnp.asarray(C_glob, dtype)
+    pose_mask = np.zeros(V, bool)
+    pose_mask[connected] = True
+
+    obs_active = np.ones(O, bool)
+    intr = jnp.asarray(inputs.intr, dtype)
+    tid = jnp.asarray(inputs.track_id)
+    vid = jnp.asarray(inputs.view_id)
+    iid = jnp.asarray(inputs.intr_id)
+    mean_focal = float(np.mean(np.asarray(inputs.intr)[:, 0]))
+
+    @jax.jit
+    def triangulate_all(R, C, pmask, oactive, intr):
+        b = inc._bearings(inputs, intr)
+        return triangulate_tracks(R, C, pmask, tid, vid, oactive, b, T,
+                                  cfg.min_angle_deg, cfg.max_err_px,
+                                  mean_focal)
+
+    @jax.jit
+    def residuals_px(R, C, X, intr):
+        return reprojection_residuals_px(R, C, intr, inputs.models, iid[vid],
+                                         vid, tid, X, inputs.xy)
+
+    tri = triangulate_all(R, C, jnp.asarray(pose_mask),
+                          jnp.asarray(obs_active), intr)
+    X = tri.X
+    track_ok = np.asarray(tri.ok)
+
+    def run_ba(iterations, refine):
+        nonlocal R, C, X, intr
+        w = (obs_active & track_ok[np.asarray(tid)]
+             & pose_mask[np.asarray(vid)])
+        obs_ba = lm.BAObservations(
+            view_id=vid, intr_id=iid[vid], point_id=tid,
+            model=inputs.models[iid[vid]], xy=inputs.xy,
+            weight=jnp.asarray(w, dtype))
+        anchor = connected[0]
+        fixed = jnp.asarray(~pose_mask | (np.arange(V) == anchor))
+        state = lm.BAState(R=R, C=C, intr=intr, X=X)
+        opts = lm.BAOptions(max_iterations=iterations,
+                            refine_intrinsics=refine,
+                            huber_delta_px=cfg.huber_delta_px)
+        out, stats = lm.bundle_adjust(state, obs_ba, opts,
+                                      fixed_pose_mask=fixed)
+        R, C, intr, X = out.R, out.C, out.intr, out.X
+        return stats
+
+    # BA rounds with outlier re-testing between them. Rejection is NOT
+    # permanent: each round re-admits observations that fit again — the
+    # averaging initialization can start far enough from the optimum that a
+    # hard first-round rejection starves end-of-graph cameras of support.
+    run_ba(cfg.ba_iterations, False)
+    for round_i in range(3):
+        r2 = np.asarray(residuals_px(R, C, X, intr))
+        thr = cfg.max_err_px * (2.0 if round_i == 0 else 1.0)
+        obs_active = pose_mask[np.asarray(vid)] & (r2 <= thr ** 2)
+        tri = triangulate_all(R, C, jnp.asarray(pose_mask),
+                              jnp.asarray(obs_active), intr)
+        X = tri.X
+        track_ok = np.asarray(tri.ok)
+        run_ba(cfg.ba_iterations, cfg.refine_intrinsics)
+
+    r2 = np.asarray(residuals_px(R, C, X, intr))
+    tid_np = np.asarray(tid)
+    vid_np = np.asarray(vid)
+    live = (obs_active & track_ok[tid_np] & pose_mask[vid_np])
+    resid = np.sqrt(r2[live]) if live.any() else np.zeros(1)
+    stats = {
+        "num_cameras": int(pose_mask.sum()),
+        "num_tracks": int(track_ok.sum()),
+        "num_observations": int(live.sum()),
+        "rms_px": float(np.sqrt(r2[live].mean())) if live.any() else np.nan,
+        "residual_min": float(resid.min()),
+        "residual_max": float(resid.max()),
+        "residual_mean": float(resid.mean()),
+        "residual_median": float(np.median(resid)),
+        "num_relative_motions": len(motions),
+    }
+    return inc.SfMResult(R, C, pose_mask, X, track_ok, obs_active, intr,
+                         stats)

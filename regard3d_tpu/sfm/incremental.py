@@ -1,0 +1,330 @@
+"""Incremental SfM engine (sequential v1/v2 equivalents).
+
+Rebuilds the observable behaviour of OpenMVG's
+``SequentialSfMReconstructionEngine`` (+user initial pair, v1) and
+``SequentialSfMReconstructionEngine2`` (MaxPair auto-initializer, v2) as
+driven by the reference (``src/threads/R3DTriangulationThread.cpp:
+418-441, 492-509``):
+
+  initial pair -> robust E -> relative pose -> triangulate
+  -> { pick best unposed view -> robust resection -> retriangulate
+       -> bundle adjust -> reject outlier observations } until done
+  -> final BA (+optional intrinsic refinement)
+
+TPU decomposition: the outer *which-view-next* loop is inherently
+data-dependent and stays on host; every step inside it is a fixed-shape
+device program (vectorized ACRANSAC, whole-scene segment-sum triangulation,
+Schur-LM BA).  The scene state lives in flat arrays the whole time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regard3d_tpu.ba import lm
+from regard3d_tpu.core import cameras
+from regard3d_tpu.kernels import geometry, ransac
+from regard3d_tpu.sfm import tracks as tracks_mod
+from regard3d_tpu.sfm.triangulate import (reprojection_residuals_px,
+                                          triangulate_tracks)
+
+
+@dataclasses.dataclass(frozen=True)
+class IncrementalConfig:
+    max_err_px: float = 4.0            # ACRANSAC bound (reference: 4.0)
+    ransac_iters: int = 1024
+    resection_iters: int = 512
+    min_resection_points: int = 12
+    min_track_len: int = 2
+    min_angle_deg: float = 2.0
+    ba_every: int = 3                  # bundle adjust after this many views
+    ba_iterations: int = 20
+    final_ba_iterations: int = 40
+    refine_intrinsics: bool = True     # ADJUST_ALL parity default
+    huber_delta_px: float = 2.0
+    min_initial_inliers: int = 50
+
+
+class SfMInputs(NamedTuple):
+    """Static-shape scene inputs (built by the pipeline layer)."""
+    xy: jnp.ndarray          # (O, 2) pixel coords per observation
+    track_id: jnp.ndarray    # (O,)
+    view_id: jnp.ndarray     # (O,)
+    feature_id: jnp.ndarray  # (O,)
+    num_tracks: int
+    intr_id: jnp.ndarray     # (V,) per-view intrinsic group
+    intr: jnp.ndarray        # (K, 9)
+    models: jnp.ndarray      # (K,) camera model codes
+    image_sizes: np.ndarray  # (V, 2) width, height
+
+
+class SfMResult(NamedTuple):
+    R: jnp.ndarray           # (V, 3, 3)
+    C: jnp.ndarray           # (V, 3)
+    pose_mask: np.ndarray    # (V,)
+    X: jnp.ndarray           # (T, 3)
+    track_ok: np.ndarray     # (T,)
+    obs_active: np.ndarray   # (O,)
+    intr: jnp.ndarray        # (K, 9)
+    stats: Dict
+
+
+def _bearings(inputs: SfMInputs, intr) -> jnp.ndarray:
+    params = intr[inputs.intr_id[inputs.view_id]]
+    model = inputs.models[inputs.intr_id[inputs.view_id]]
+    return cameras.bearing(model, params, inputs.xy)
+
+
+def _normalized_xy(inputs: SfMInputs, intr) -> jnp.ndarray:
+    b = _bearings(inputs, intr)
+    return b[:, :2] / b[:, 2:]
+
+
+def select_initial_pair(inputs: SfMInputs, table: tracks_mod.TrackTable,
+                        key, cfg: IncrementalConfig,
+                        num_views: int) -> Optional[Tuple[int, int]]:
+    """MaxPair-style auto initializer: try the pairs with the most shared
+    tracks, keep the first that yields a well-conditioned relative pose
+    (enough E-inliers). ~ SfMSceneInitializerMaxPair parity."""
+    counts = tracks_mod.shared_track_count(table, num_views)
+    pairs = [(int(counts[i, j]), i, j) for i in range(num_views)
+             for j in range(i + 1, num_views) if counts[i, j] >= 30]
+    pairs.sort(reverse=True)
+    xn = np.asarray(_normalized_xy(inputs, inputs.intr))
+    for rank, (cnt, i, j) in enumerate(pairs[:10]):
+        res = _two_view_geometry(inputs, xn, i, j, key, cfg)
+        if res is not None and int(res[3]) >= cfg.min_initial_inliers:
+            return i, j
+    return pairs[0][1:] if pairs else None
+
+
+def _pair_obs(inputs: SfMInputs, i: int, j: int):
+    """Indices of observations forming tracks shared by views i and j.
+    Returns (obs_i, obs_j) aligned arrays of observation row indices."""
+    vid = np.asarray(inputs.view_id)
+    tid = np.asarray(inputs.track_id)
+    rows_i = np.where(vid == i)[0]
+    rows_j = np.where(vid == j)[0]
+    ti = tid[rows_i]
+    tj = tid[rows_j]
+    common, ii, jj = np.intersect1d(ti, tj, return_indices=True)
+    return rows_i[ii], rows_j[jj]
+
+
+def _two_view_geometry(inputs, xn, i, j, key, cfg):
+    oi, oj = _pair_obs(inputs, i, j)
+    n = len(oi)
+    if n < 16:
+        return None
+    cap = max(64, 1 << int(np.ceil(np.log2(n))))
+    pad = cap - n
+    x1 = jnp.asarray(np.pad(xn[oi], ((0, pad), (0, 0))))
+    x2 = jnp.asarray(np.pad(xn[oj], ((0, pad), (0, 0))))
+    mask = jnp.asarray(np.arange(cap) < n)
+    f = float(inputs.intr[inputs.intr_id[i], 0])
+    res = ransac.acransac_e(key, x1, x2, mask, focal_px=f,
+                            iters=cfg.ransac_iters,
+                            max_err_px=cfg.max_err_px)
+    if not bool(res.valid):
+        return None
+    return res.model, (oi, oj, res.inliers, n), x1, res.num_inliers
+
+
+def run_incremental(inputs: SfMInputs,
+                    initial_pair: Optional[Tuple[int, int]] = None,
+                    cfg: IncrementalConfig = IncrementalConfig(),
+                    seed: int = 0,
+                    verbose: bool = False) -> SfMResult:
+    """Run the incremental pipeline. ``initial_pair=None`` auto-selects
+    (v2 MaxPair behaviour); passing a pair reproduces v1."""
+    key = jax.random.PRNGKey(seed)
+    V = inputs.intr_id.shape[0]
+    T = inputs.num_tracks
+    O = inputs.xy.shape[0]
+    dtype = inputs.xy.dtype
+
+    intr = jnp.asarray(inputs.intr, dtype)
+    R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (V, 3, 3))
+    C = jnp.zeros((V, 3), dtype)
+    pose_mask = np.zeros(V, bool)
+    obs_active = np.ones(O, bool)
+    track_ok = np.zeros(T, bool)
+    X = jnp.zeros((T, 3), dtype)
+
+    table = tracks_mod.TrackTable(np.asarray(inputs.track_id),
+                                  np.asarray(inputs.view_id),
+                                  np.asarray(inputs.feature_id), T)
+
+    # --- initial pair -----------------------------------------------------
+    if initial_pair is None:
+        initial_pair = select_initial_pair(inputs, table, key, cfg, V)
+        if initial_pair is None:
+            raise ValueError("no viable initial pair")
+    i0, j0 = initial_pair
+    xn = np.asarray(_normalized_xy(inputs, intr))
+
+    key, k1 = jax.random.split(key)
+    two = _two_view_geometry(inputs, xn, i0, j0, k1, cfg)
+    if two is None:
+        raise ValueError(f"initial pair {initial_pair} failed E estimation")
+    E, (oi, oj, inl_pad, n_pair), x1pad, n_inl = two
+    inl = np.asarray(inl_pad)[:n_pair]
+
+    x1 = jnp.asarray(xn[oi[inl]])
+    x2 = jnp.asarray(xn[oj[inl]])
+    Rrel, trel, _ = geometry.decompose_essential(E[None], x1[None], x2[None])
+    R = R.at[j0].set(Rrel[0])
+    C = C.at[j0].set(-jnp.einsum("ji,j->i", Rrel[0], trel[0]))
+    pose_mask[[i0, j0]] = True
+
+    # deactivate pair observations that failed the E filter
+    obs_active[oi[~inl]] = False
+    obs_active[oj[~inl]] = False
+
+    # jitted helpers -------------------------------------------------------
+    tid = jnp.asarray(inputs.track_id)
+    vid = jnp.asarray(inputs.view_id)
+    iid = jnp.asarray(inputs.intr_id)
+
+    mean_focal = float(np.mean(np.asarray(inputs.intr)[:, 0]))
+
+    @jax.jit
+    def triangulate_all(R, C, pmask, oactive, intr):
+        b = _bearings(inputs, intr)
+        return triangulate_tracks(R, C, pmask, tid, vid, oactive, b, T,
+                                  cfg.min_angle_deg, cfg.max_err_px,
+                                  mean_focal)
+
+    @jax.jit
+    def residuals_px(R, C, X, intr):
+        return reprojection_residuals_px(R, C, intr, inputs.models, iid[vid],
+                                         vid, tid, X, inputs.xy)
+
+    def retriangulate():
+        nonlocal X, track_ok
+        tri = triangulate_all(R, C, jnp.asarray(pose_mask),
+                              jnp.asarray(obs_active), intr)
+        X = tri.X
+        track_ok = np.asarray(tri.ok)
+
+    retriangulate()
+
+    def run_ba(iterations, refine):
+        nonlocal R, C, X, intr
+        w = (obs_active & track_ok[np.asarray(tid)]
+             & pose_mask[np.asarray(vid)])
+        obs_ba = lm.BAObservations(
+            view_id=vid, intr_id=iid[vid], point_id=tid,
+            model=inputs.models[iid[vid]], xy=inputs.xy,
+            weight=jnp.asarray(w, dtype))
+        fixed = jnp.asarray(~pose_mask | (np.arange(V) == i0))
+        state = lm.BAState(R=R, C=C, intr=intr, X=X)
+        opts = lm.BAOptions(max_iterations=iterations,
+                            refine_intrinsics=refine,
+                            huber_delta_px=cfg.huber_delta_px)
+        out, stats = lm.bundle_adjust(state, obs_ba, opts,
+                                      fixed_pose_mask=fixed)
+        R, C, intr, X = out.R, out.C, out.intr, out.X
+        return stats
+
+    def reject_outliers():
+        nonlocal obs_active
+        r2 = np.asarray(residuals_px(R, C, X, intr))
+        live = (obs_active & track_ok[np.asarray(tid)]
+                & pose_mask[np.asarray(vid)])
+        bad = live & (r2 > cfg.max_err_px ** 2)
+        obs_active &= ~bad
+        return int(bad.sum())
+
+    run_ba(cfg.ba_iterations, False)
+    retriangulate()
+
+    # --- grow -------------------------------------------------------------
+    vid_np = np.asarray(inputs.view_id)
+    tid_np = np.asarray(inputs.track_id)
+    added_since_ba = 0
+    order_added = [i0, j0]
+    failed_at: Dict[int, int] = {}     # view -> score when resection failed
+    while True:
+        # candidate views scored by #visible triangulated tracks; a view
+        # that failed resection is retried only once its score grows 20%
+        cand_scores = {}
+        for v in range(V):
+            if pose_mask[v]:
+                continue
+            rows = np.where((vid_np == v) & obs_active)[0]
+            vis = int(track_ok[tid_np[rows]].sum())
+            if vis < cfg.min_resection_points:
+                continue
+            if v in failed_at and vis < 1.2 * failed_at[v]:
+                continue
+            cand_scores[v] = vis
+        if not cand_scores:
+            break
+        v = max(cand_scores, key=cand_scores.get)
+
+        rows = np.where((vid_np == v) & obs_active)[0]
+        rows = rows[track_ok[tid_np[rows]]]
+        n = len(rows)
+        cap = max(64, 1 << int(np.ceil(np.log2(n))))
+        pad = cap - n
+        Xv = jnp.asarray(np.pad(np.asarray(X)[tid_np[rows]],
+                                ((0, pad), (0, 0))))
+        xv = jnp.asarray(np.pad(xn[rows], ((0, pad), (0, 0))))
+        maskv = jnp.asarray(np.arange(cap) < n)
+        key, k2 = jax.random.split(key)
+        f = float(intr[inputs.intr_id[v], 0])
+        rr = ransac.acransac_resection(k2, Xv, xv, maskv, focal_px=f,
+                                       iters=cfg.resection_iters,
+                                       max_err_px=cfg.max_err_px)
+        if not bool(rr.valid):
+            failed_at[v] = cand_scores[v]
+            continue
+        failed_at.pop(v, None)
+        R = R.at[v].set(rr.R)
+        C = C.at[v].set(rr.C)
+        pose_mask[v] = True
+        order_added.append(v)
+        # deactivate resection outliers
+        out_rows = rows[~np.asarray(rr.inliers)[:n]]
+        obs_active[out_rows] = False
+
+        retriangulate()
+        added_since_ba += 1
+        if added_since_ba >= cfg.ba_every:
+            run_ba(cfg.ba_iterations, False)
+            reject_outliers()
+            retriangulate()
+            added_since_ba = 0
+        if verbose:
+            print(f"added view {v}: {int(track_ok.sum())} tracks, "
+                  f"{int(pose_mask.sum())}/{V} cams")
+
+    # --- final polish -----------------------------------------------------
+    run_ba(cfg.final_ba_iterations, cfg.refine_intrinsics)
+    reject_outliers()
+    retriangulate()
+    run_ba(cfg.ba_iterations, cfg.refine_intrinsics)
+    retriangulate()
+
+    r2 = np.asarray(residuals_px(R, C, X, intr))
+    live = (obs_active & track_ok[tid_np] & pose_mask[vid_np])
+    rms = float(np.sqrt(r2[live].mean())) if live.any() else float("nan")
+    resid = np.sqrt(r2[live]) if live.any() else np.zeros(1)
+    stats = {
+        "num_cameras": int(pose_mask.sum()),
+        "num_tracks": int(track_ok.sum()),
+        "num_observations": int(live.sum()),
+        "rms_px": rms,
+        "residual_min": float(resid.min()),
+        "residual_max": float(resid.max()),
+        "residual_mean": float(resid.mean()),
+        "residual_median": float(np.median(resid)),
+        "order_added": order_added,
+    }
+    return SfMResult(R, C, pose_mask, X, track_ok, obs_active, intr, stats)
