@@ -26,25 +26,31 @@ def main():
     M = N = 4096
     D = 256
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
-    b = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    # distinct input variants so no dispatch/caching layer can elide work
+    VARIANTS = 8
+    As = [jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+          for _ in range(VARIANTS)]
+    Bs = [jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+          for _ in range(VARIANTS)]
     mask_b = jnp.ones((N,), bool)
+    mask_a = jnp.ones((M,), bool)
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def run():
+    def run(k):
+        a = As[k % VARIANTS]
+        b = Bs[k % VARIANTS]
         if on_tpu:
             return match.l2_top2_pallas(a, b, mask_b)
-        d1, i1, ok = match.match_pair(a, jnp.ones((M,), bool), b, mask_b,
-                                      0.8, use_pallas=False)
-        return d1, i1, ok
+        return match.match_pair(a, mask_a, b, mask_b, 0.8, use_pallas=False)
 
-    # warmup / compile
-    jax.block_until_ready(run())
-    iters = 50 if on_tpu else 3
+    # warmup / compile (two rounds: the axon tunnel needs one to settle)
+    for k in range(VARIANTS if on_tpu else 1):
+        jax.block_until_ready(run(k))
+    iters = 100 if on_tpu else 3
     t0 = time.time()
-    for _ in range(iters):
-        out = run()
+    for k in range(iters):
+        out = run(k)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     pairs_per_s = 1.0 / dt

@@ -149,6 +149,7 @@ def cmd_sfm(args):
             intr_id, params, models,
             params=ts.TriangulationParams(
                 engine=args.engine, initial_pair=initial_pair,
+                initializer=args.initializer,
                 rotation_averaging=args.rotation_averaging,
                 translation_averaging=args.translation_averaging,
                 refine_intrinsics=not args.no_refine_intrinsics),
@@ -177,7 +178,8 @@ def cmd_export(args):
     names = [os.path.basename(i["path"]) for i in infos]
     out = args.out or os.path.join(p.project_dir, f"export_{args.format}")
     os.makedirs(out, exist_ok=True)
-    if args.format in ("pmvs", "bundler", "mve", "meshlab"):
+    if args.format in ("pmvs", "bundler", "mve", "meshlab", "sfmoutput",
+                       "externalmvs"):
         images = [image_io.load_rgb(i["path"]) for i in infos]
     if args.format == "bundler":
         formats.export_bundler(out, scene, names)
@@ -193,6 +195,13 @@ def cmd_export(args):
     elif args.format == "openmvs":
         from regard3d_tpu.export import openmvs
         openmvs.export_openmvs(os.path.join(out, "scene.mvs"), scene, names)
+    elif args.format == "sfmoutput":
+        from regard3d_tpu.export import sfm_output
+        sfm_output.export_sfm_output(os.path.join(out, "SfM_output"),
+                                     scene, images, names)
+    elif args.format == "externalmvs":
+        from regard3d_tpu.export import external_mvs
+        external_mvs.export_external_mvs(out, scene, images, names)
     else:
         raise SystemExit(f"unknown format {args.format}")
     print(f"exported {args.format} to {out}")
@@ -240,6 +249,46 @@ def cmd_surface(args):
     print(json.dumps(stats, indent=1, default=str))
 
 
+def cmd_camera_db(args):
+    """User camera DB management (UserCameraDB dialog parity)."""
+    from regard3d_tpu.ingest.sensor_db import UserCameraDB
+    from regard3d_tpu.pipeline.settings import Settings
+    path = args.db or Settings().get("user_camera_db_path") or os.path.join(
+        os.path.expanduser("~"), ".config", "regard3d_tpu", "user_cameras.db")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    db = UserCameraDB(path)
+    if args.action == "list":
+        for maker, model, width in db.all_entries():
+            print(f"{maker};{model};{width}")
+    elif args.action == "add":
+        db.add(args.maker, args.model, args.sensor_width)
+        print(f"added {args.maker} {args.model} = {args.sensor_width} mm")
+    elif args.action == "remove":
+        db.remove(args.maker, args.model)
+        print(f"removed {args.maker} {args.model}")
+    db.close()
+
+
+def cmd_image_info(args):
+    """Per-image EXIF + sensor-DB report (ImageInfoThread parity)."""
+    from regard3d_tpu.ingest import exif as exif_mod, geodesy, sensor_db
+    sdb = sensor_db.SensorDB(args.sensor_db)
+    for path in args.images:
+        info = exif_mod.read_exif(path)
+        w = sensor_db.lookup_sensor_width(info.maker, info.model,
+                                          sensor_db=sdb)
+        line = (f"{os.path.basename(path)}: {info.width}x{info.height} "
+                f"maker='{info.maker}' model='{info.model}' "
+                f"focal={info.focal_length_mm}mm sensor_width="
+                f"{w if w else 'unknown'}")
+        if info.has_gps:
+            x, y, z = geodesy.lla_to_ecef(info.latitude, info.longitude,
+                                          info.altitude)
+            line += (f" gps=({info.latitude:.6f},{info.longitude:.6f},"
+                     f"{info.altitude:.1f}) ecef=({x:.1f},{y:.1f},{z:.1f})")
+        print(line)
+
+
 def cmd_info(args):
     from regard3d_tpu.pipeline.project import Project
     p = Project.load(args.project)
@@ -278,6 +327,8 @@ def build_parser():
     s.add_argument("--matcher", default="brute-force")
     s.add_argument("--max-keypoints", type=int, default=4096)
     s.add_argument("--ransac-iters", type=int, default=1024)
+    s.add_argument("--profile", default=None,
+                   help="write a JAX profiler trace to this directory")
     s.set_defaults(fn=cmd_matches)
 
     s = sub.add_parser("sfm")
@@ -286,6 +337,8 @@ def build_parser():
                    choices=["incremental", "incremental2", "global"])
     s.add_argument("--initial-pair", default=None,
                    help="view ids 'a,b' (incremental v1)")
+    s.add_argument("--initializer", default="maxpair",
+                   choices=["maxpair", "stellar"])
     s.add_argument("--camera-model", default="radial_k3",
                    choices=["pinhole", "radial_k1", "radial_k3",
                             "brown_t2", "fisheye"])
@@ -294,13 +347,15 @@ def build_parser():
     s.add_argument("--translation-averaging", default="softl1",
                    choices=["l1", "l2_chordal", "softl1"])
     s.add_argument("--no-refine-intrinsics", action="store_true")
+    s.add_argument("--profile", default=None,
+                   help="write a JAX profiler trace to this directory")
     s.set_defaults(fn=cmd_sfm)
 
     s = sub.add_parser("export")
     s.add_argument("project")
     s.add_argument("--format", required=True,
                    choices=["bundler", "pmvs", "nvm", "meshlab", "mve",
-                            "openmvs"])
+                            "openmvs", "sfmoutput", "externalmvs"])
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_export)
 
@@ -334,12 +389,32 @@ def build_parser():
     s = sub.add_parser("info")
     s.add_argument("project")
     s.set_defaults(fn=cmd_info)
+
+    s = sub.add_parser("camera-db")
+    s.add_argument("action", choices=["list", "add", "remove"])
+    s.add_argument("--maker", default="")
+    s.add_argument("--model", default="")
+    s.add_argument("--sensor-width", type=float, default=0.0)
+    s.add_argument("--db", default=None)
+    s.set_defaults(fn=cmd_camera_db)
+
+    s = sub.add_parser("image-info")
+    s.add_argument("images", nargs="+")
+    s.add_argument("--sensor-db", default=None)
+    s.set_defaults(fn=cmd_image_info)
     return ap
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            args.fn(args)
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ class TriangulationParams:
     """Engine menu parity (src/R3DProject.h:258-266)."""
     engine: str = "incremental2"      # incremental | incremental2 | global
     initial_pair: Optional[Tuple[int, int]] = None     # incremental v1
+    initializer: str = "maxpair"      # incremental2: maxpair | stellar
     rotation_averaging: str = "l2"                     # global: l1 | l2
     translation_averaging: str = "softl1"  # l1 | l2_chordal | softl1
     refine_intrinsics: bool = True
@@ -156,7 +157,8 @@ def run_triangulation(matches_dir: str, out_dir: str,
         result = incremental.run_incremental(
             inputs, initial_pair=init,
             cfg=incremental.IncrementalConfig(
-                refine_intrinsics=params.refine_intrinsics), seed=seed)
+                refine_intrinsics=params.refine_intrinsics,
+                initializer=params.initializer), seed=seed)
 
     colors = colorize_tracks(inputs, result, images)
     scene = result_to_scene(result, inputs, image_sizes, colors)

@@ -48,6 +48,8 @@ class IncrementalConfig:
     refine_intrinsics: bool = True     # ADJUST_ALL parity default
     huber_delta_px: float = 2.0
     min_initial_inliers: int = 50
+    initializer: str = "maxpair"       # "maxpair" | "stellar" (v2 menu,
+                                       # src/res/Regard3dMainFrameBase.fbp:9712)
 
 
 class SfMInputs(NamedTuple):
@@ -94,13 +96,50 @@ def select_initial_pair(inputs: SfMInputs, table: tracks_mod.TrackTable,
     counts = tracks_mod.shared_track_count(table, num_views)
     pairs = [(int(counts[i, j]), i, j) for i in range(num_views)
              for j in range(i + 1, num_views) if counts[i, j] >= 30]
-    pairs.sort(reverse=True)
+    if cfg.initializer == "stellar" and pairs:
+        # stellar: favour pairs around the best-connected hub view (the
+        # view with the largest summed co-visibility over its neighbours)
+        hub = int(np.argmax(counts.sum(1)))
+        hub_pairs = [p for p in pairs if hub in p[1:]]
+        pairs = sorted(hub_pairs, reverse=True) +             [p for p in pairs if p not in hub_pairs]
+    else:
+        pairs.sort(reverse=True)
     xn = np.asarray(_normalized_xy(inputs, inputs.intr))
+    fallback = None
     for rank, (cnt, i, j) in enumerate(pairs[:10]):
         res = _two_view_geometry(inputs, xn, i, j, key, cfg)
-        if res is not None and int(res[3]) >= cfg.min_initial_inliers:
-            return i, j
+        if res is None or int(res[3]) < cfg.min_initial_inliers:
+            continue
+        if _pair_is_planar(inputs, xn, i, j, key, cfg):
+            # homography-degenerate pair: E is ill-conditioned — keep
+            # looking (OpenMVG's initializers avoid H-dominant pairs too)
+            if fallback is None:
+                fallback = (i, j)
+            continue
+        return i, j
+    if fallback is not None:
+        return fallback
     return pairs[0][1:] if pairs else None
+
+
+def _pair_is_planar(inputs, xn, i, j, key, cfg,
+                    h_ratio_threshold: float = 0.92) -> bool:
+    """True when a robust homography explains nearly all of the pair's
+    correspondences (planar scene / pure rotation -> degenerate E)."""
+    oi, oj = _pair_obs(inputs, i, j)
+    n = len(oi)
+    if n < 16:
+        return False
+    cap = max(64, 1 << int(np.ceil(np.log2(n))))
+    pad = cap - n
+    f = float(inputs.intr[inputs.intr_id[i], 0])
+    x1 = jnp.asarray(np.pad(xn[oi] * f, ((0, pad), (0, 0))))
+    x2 = jnp.asarray(np.pad(xn[oj] * f, ((0, pad), (0, 0))))
+    mask = jnp.asarray(np.arange(cap) < n)
+    res = ransac.acransac_h(key, x1, x2, mask, 2.0 * f, 2.0 * f,
+                            iters=min(cfg.ransac_iters, 512),
+                            max_err_px=cfg.max_err_px)
+    return bool(res.valid) and int(res.num_inliers) >= h_ratio_threshold * n
 
 
 def _pair_obs(inputs: SfMInputs, i: int, j: int):

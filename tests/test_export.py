@@ -165,3 +165,49 @@ def test_undistort_identity(tmp_path, rng):
     img = (rng.uniform(size=(480, 640, 3)) * 255).astype(np.uint8)
     out = formats.undistort_image(img, s, 0)
     np.testing.assert_array_equal(out, img)
+
+
+def test_sfm_output_export(tmp_path, rng):
+    from regard3d_tpu.export import sfm_output
+    s = make_scene()
+    imgs = [(rng.uniform(size=(480, 640, 3)) * 255).astype(np.uint8)
+            for _ in range(3)]
+    out = str(tmp_path / "SfM_output")
+    sfm_output.export_sfm_output(out, s, imgs,
+                                 [f"im{i}.jpg" for i in range(3)])
+    # P matrix roundtrip: 12 doubles column-major
+    P = np.fromfile(os.path.join(out, "cameras", "im0.bin"),
+                    np.float64).reshape(4, 3).T
+    K = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1.0]])
+    R = np.asarray(s.poses.R[0])
+    t = -R @ np.asarray(s.poses.C[0])
+    np.testing.assert_allclose(P, K @ np.concatenate([R, t[:, None]], 1),
+                               rtol=1e-5, atol=1e-5)
+    views = open(os.path.join(out, "views.txt")).read().splitlines()
+    assert views[:2] == ["images", "cameras"] and int(views[2]) == 3
+    assert os.path.exists(os.path.join(out, "clouds", "calib.ply"))
+    assert os.path.exists(os.path.join(out, "clouds", "visibility.txt"))
+    disto = open(os.path.join(out, "cameras_disto", "im0.txt")).read()
+    assert disto.split()[0] == "500.0"
+    assert os.path.exists(os.path.join(out, "images", "im0.jpg"))
+
+
+def test_external_mvs_export(tmp_path, rng):
+    from regard3d_tpu.export import external_mvs
+    s = make_scene()
+    imgs = [(rng.uniform(size=(480, 640, 3)) * 255).astype(np.uint8)
+            for _ in range(3)]
+    out = str(tmp_path)
+    external_mvs.export_external_mvs(out, s, imgs,
+                                     [f"im{i}.jpg" for i in range(3)])
+    assert os.path.exists(os.path.join(out, "CMPMVS", "00001_P.txt"))
+    assert open(os.path.join(out, "CMPMVS", "00001_P.txt")).read() \
+        .startswith("CONTOUR")
+    sfm = open(os.path.join(out, "meshrecon", "output.sfm")).read() \
+        .splitlines()
+    assert int(sfm[0]) == 3
+    assert sfm[2].startswith("../CMPMVS/00001.jpg")
+    ori = open(os.path.join(out, "SURE", "00001.ori")).read()
+    assert ori.startswith("$ImageID") and "ORI_Ver_1.0" in ori
+    assert os.path.exists(os.path.join(out, "MVMPR", "data", "00001.cam"))
+    assert os.path.exists(os.path.join(out, "mvs_firstRun.ini"))

@@ -13,19 +13,23 @@ from regard3d_tpu.pipeline import (compute_matches as cm, features as fm,
                                    triangulation_step as ts)
 
 
-def render_scene(rng, n_cams=5, hw=200, f=260.0):
+def render_scene(rng, n_cams=5, hw=256, f=330.0):
     """Render a two-plane textured 3D scene from an arc of cameras —
     a real multi-view dataset with parallax, no external files."""
-    tex1 = rng.uniform(0.0, 1.0, size=(96, 96)).astype(np.float32)
-    tex2 = rng.uniform(0.0, 1.0, size=(96, 96)).astype(np.float32)
+    # texture pitch tuned to ~3 px/texel on screen for BOTH planes (near
+    # plane z=8 spans 4 units, far plane z=13 spans 22 units)
     from regard3d_tpu.kernels.scale_space import gaussian_blur
-    tex1 = np.asarray(gaussian_blur(jnp.asarray(np.kron(
-        tex1, np.ones((2, 2), np.float32)))[None], 0.8)[0])
-    tex2 = np.asarray(gaussian_blur(jnp.asarray(np.kron(
-        tex2, np.ones((2, 2), np.float32)))[None], 0.8)[0])
+    tex1 = rng.uniform(0.0, 1.0, size=(24, 24)).astype(np.float32)
+    tex2 = rng.uniform(0.0, 1.0, size=(144, 144)).astype(np.float32)
+    tex1 = np.asarray(gaussian_blur(jnp.asarray(tex1)[None], 0.6)[0])
+    tex2 = np.asarray(gaussian_blur(jnp.asarray(tex2)[None], 0.6)[0])
 
     z1, z2 = 8.0, 13.0         # plane depths
-    half1, half2 = 6.0, 11.0   # plane extents
+    # near plane must NOT fill the frustum (it would make pairs planar and
+    # E-degenerate): FOV half-extent at z=8 is ~3.1, keep half1 well below
+    # near plane small enough that its projection (half1/z1*f ~ 41px)
+    # plus the AKAZE descriptor border margin leaves a wide far-plane ring
+    half1, half2 = 1.0, 11.0   # plane extents
 
     Rs, Cs, images = [], [], []
     c = hw / 2.0
