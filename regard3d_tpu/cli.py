@@ -144,6 +144,21 @@ def cmd_sfm(args):
         if args.initial_pair:
             a, b = args.initial_pair.split(",")
             initial_pair = (int(a), int(b))
+        center_priors = None
+        if args.use_gps:
+            from regard3d_tpu.ingest import geodesy
+            gps = [i.get("gps") for i in infos]
+            if sum(g is not None for g in gps) >= 3:
+                ecef = np.asarray([
+                    geodesy.lla_to_ecef(*g) if g is not None
+                    else (np.nan,) * 3 for g in gps])
+                valid = np.isfinite(ecef).all(1)
+                local, origin, Renu = geodesy.local_enu_frame(ecef[valid])
+                center_priors = np.full((len(gps), 3), np.nan)
+                center_priors[valid] = local
+            else:
+                print("warning: <3 images carry GPS; ignoring --use-gps",
+                      file=sys.stderr)
         stats = ts.run_triangulation(
             p.paths(mobj.id).matches_dir, out_dir, images,
             intr_id, params, models,
@@ -152,8 +167,10 @@ def cmd_sfm(args):
                 initializer=args.initializer,
                 rotation_averaging=args.rotation_averaging,
                 translation_averaging=args.translation_averaging,
-                refine_intrinsics=not args.no_refine_intrinsics),
-            image_names=[os.path.basename(i["path"]) for i in infos])
+                refine_intrinsics=not args.no_refine_intrinsics,
+                use_gps=args.use_gps),
+            image_names=[os.path.basename(i["path"]) for i in infos],
+            center_priors=center_priors)
     except Exception as e:
         p.fail(obj.id, str(e))
         raise
@@ -347,6 +364,8 @@ def build_parser():
     s.add_argument("--translation-averaging", default="softl1",
                    choices=["l1", "l2_chordal", "softl1"])
     s.add_argument("--no-refine-intrinsics", action="store_true")
+    s.add_argument("--use-gps", action="store_true",
+                   help="anchor the reconstruction to EXIF GPS priors")
     s.add_argument("--profile", default=None,
                    help="write a JAX profiler trace to this directory")
     s.set_defaults(fn=cmd_sfm)

@@ -136,6 +136,7 @@ def run_triangulation(matches_dir: str, out_dir: str,
                       models: np.ndarray,
                       params: TriangulationParams = TriangulationParams(),
                       image_names: Optional[List[str]] = None,
+                      center_priors: Optional[np.ndarray] = None,
                       seed: int = 0) -> Dict:
     """Full triangulation step; writes artifacts; returns stats."""
     t0 = time.time()
@@ -158,7 +159,8 @@ def run_triangulation(matches_dir: str, out_dir: str,
             inputs, initial_pair=init,
             cfg=incremental.IncrementalConfig(
                 refine_intrinsics=params.refine_intrinsics,
-                initializer=params.initializer), seed=seed)
+                initializer=params.initializer), seed=seed,
+            center_priors=(center_priors if params.use_gps else None))
 
     colors = colorize_tracks(inputs, result, images)
     scene = result_to_scene(result, inputs, image_sizes, colors)

@@ -178,9 +178,16 @@ def run_incremental(inputs: SfMInputs,
                     initial_pair: Optional[Tuple[int, int]] = None,
                     cfg: IncrementalConfig = IncrementalConfig(),
                     seed: int = 0,
-                    verbose: bool = False) -> SfMResult:
+                    verbose: bool = False,
+                    center_priors=None,
+                    prior_weight: float = 1.0) -> SfMResult:
     """Run the incremental pipeline. ``initial_pair=None`` auto-selects
-    (v2 MaxPair behaviour); passing a pair reproduces v1."""
+    (v2 MaxPair behaviour); passing a pair reproduces v1.
+
+    ``center_priors``: optional (V, 3) camera-center priors in a local
+    metric frame (GPS->ENU). The reconstruction runs in a free gauge and
+    is Sim3-aligned to the priors before a final prior-constrained BA
+    (the reference's use-GPS / ViewPriors option)."""
     key = jax.random.PRNGKey(seed)
     V = inputs.intr_id.shape[0]
     T = inputs.num_tracks
@@ -350,6 +357,40 @@ def run_incremental(inputs: SfMInputs,
     retriangulate()
     run_ba(cfg.ba_iterations, cfg.refine_intrinsics)
     retriangulate()
+
+    # --- GPS anchoring (parity: GPS motion prior, use-GPS option) ---------
+    if center_priors is not None:
+        from regard3d_tpu.core import metrics as metrics_mod
+        pri = np.asarray(center_priors, np.float64)
+        pm = pose_mask & np.isfinite(pri).all(axis=1)
+        if pm.sum() >= 3:
+            sim = metrics_mod.umeyama(np.asarray(C)[pm], pri[pm])
+            # x_cam = R_v (X - C_v); world transform X' = s R X + t:
+            # R'_v = R_v R^T, C'_v = s R C_v + t, X' likewise
+            Rn = np.einsum("vij,kj->vik", np.asarray(R), sim.R)
+            Cn = sim.apply(np.asarray(C))
+            Xn = sim.apply(np.asarray(X))
+            R = jnp.asarray(Rn, dtype)
+            C = jnp.asarray(Cn, dtype)
+            X = jnp.asarray(Xn, dtype)
+            prior_arr = jnp.asarray(np.where(pm[:, None], pri, Cn), dtype)
+            w = (obs_active & track_ok[np.asarray(tid)]
+                 & pose_mask[np.asarray(vid)])
+            obs_ba = lm.BAObservations(
+                view_id=vid, intr_id=iid[vid], point_id=tid,
+                model=inputs.models[iid[vid]], xy=inputs.xy,
+                weight=jnp.asarray(w, dtype))
+            state = lm.BAState(R=R, C=C, intr=intr, X=X)
+            opts = lm.BAOptions(max_iterations=cfg.ba_iterations,
+                                refine_intrinsics=cfg.refine_intrinsics,
+                                huber_delta_px=cfg.huber_delta_px,
+                                center_prior_weight=prior_weight)
+            out, _ = lm.bundle_adjust(
+                state, obs_ba, opts,
+                fixed_pose_mask=jnp.asarray(~pose_mask),
+                center_prior=prior_arr)
+            R, C, intr, X = out.R, out.C, out.intr, out.X
+            retriangulate()
 
     r2 = np.asarray(residuals_px(R, C, X, intr))
     live = (obs_active & track_ok[tid_np] & pose_mask[vid_np])

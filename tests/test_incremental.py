@@ -170,3 +170,21 @@ def test_umeyama_alignment(rng):
     np.testing.assert_allclose(sim.scale, 2.5, rtol=1e-6)
     np.testing.assert_allclose(sim.apply(A), B, atol=1e-5)
     assert metrics.ate_rmse(A, B) < 1e-5
+
+
+def test_incremental_gps_anchoring(rng):
+    """With center priors, the reconstruction comes back in the metric
+    prior frame (no Sim3 alignment needed for the ATE check)."""
+    scene = synth_scene(rng, n_cams=6)
+    inputs, table = build_inputs(scene)
+    # priors: ground-truth centers + 0.05 noise (a "good GPS")
+    priors = scene["Cs"] + rng.normal(size=scene["Cs"].shape) * 0.05
+    result = incremental.run_incremental(
+        inputs, initial_pair=(2, 3),
+        cfg=incremental.IncrementalConfig(ransac_iters=512,
+                                          resection_iters=256),
+        center_priors=priors, prior_weight=1.0)
+    assert result.stats["num_cameras"] == 6
+    # direct (unaligned) error against GT must be at prior-noise level
+    err = np.linalg.norm(np.asarray(result.C) - scene["Cs"], axis=1)
+    assert err.mean() < 0.15, err
