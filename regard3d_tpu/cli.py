@@ -266,6 +266,48 @@ def cmd_surface(args):
     print(json.dumps(stats, indent=1, default=str))
 
 
+def cmd_preview(args):
+    """Keypoint / match preview images + SVGs (MatchingResults dialog
+    parity)."""
+    from regard3d_tpu.ingest import image_io
+    from regard3d_tpu.pipeline import compute_matches as cm
+    from regard3d_tpu.pipeline import features as fm, preview
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    m_objs = [o for o in p.objects.values() if o.kind == "matches"
+              and o.state == "finished"]
+    if not m_objs:
+        raise SystemExit("no finished compute-matches step")
+    mobj = m_objs[-1]
+    ps, infos, images = _load_pictureset(p, mobj.parent_id)
+    mdir = p.paths(mobj.id).matches_dir
+    out = args.out or os.path.join(p.project_dir, "previews")
+    os.makedirs(out, exist_ok=True)
+
+    if args.pair:
+        a, b = (int(x) for x in args.pair.split(","))
+        xy1, s1, an1, _ = fm.load_features(mdir, a)
+        xy2, s2, an2, _ = fm.load_features(mdir, b)
+        matches = cm.load_matches_txt(os.path.join(
+            mdir, f"matches.{args.kind}.txt")).get((a, b))
+        if matches is None:
+            raise SystemExit(f"no matches for pair {a},{b}")
+        im = preview.draw_matches(images[a], xy1, images[b], xy2, matches)
+        path = os.path.join(out, f"matches_{a}_{b}_{args.kind}.png")
+        im.save(path)
+        print(f"wrote {path} ({len(matches)} matches)")
+    else:
+        v = args.view
+        xy, sc, an, _ = fm.load_features(mdir, v)
+        im = preview.draw_keypoints(images[v], xy, sc, an, rich=args.rich)
+        path = os.path.join(out, f"keypoints_{v}.png")
+        im.save(path)
+        svg = os.path.join(out, f"keypoints_{v}.svg")
+        preview.keypoints_svg(svg, infos[v]["path"], infos[v]["width"],
+                              infos[v]["height"], xy, sc)
+        print(f"wrote {path} + {svg} ({len(xy)} keypoints)")
+
+
 def cmd_camera_db(args):
     """User camera DB management (UserCameraDB dialog parity)."""
     from regard3d_tpu.ingest.sensor_db import UserCameraDB
@@ -408,6 +450,16 @@ def build_parser():
     s = sub.add_parser("info")
     s.add_argument("project")
     s.set_defaults(fn=cmd_info)
+
+    s = sub.add_parser("preview")
+    s.add_argument("project")
+    s.add_argument("--view", type=int, default=0)
+    s.add_argument("--pair", default=None, help="view ids 'a,b'")
+    s.add_argument("--kind", default="putative",
+                   choices=["putative", "f", "e", "h"])
+    s.add_argument("--rich", action="store_true", default=True)
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_preview)
 
     s = sub.add_parser("camera-db")
     s.add_argument("action", choices=["list", "add", "remove"])

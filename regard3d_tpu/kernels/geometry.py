@@ -63,7 +63,7 @@ def _smallest_singular_vector(A):
     """Right singular vector of the smallest singular value. A: (S, m, n)."""
     # eigh of A^T A is faster & more stable to batch than full svd of A
     AtA = jnp.einsum("smi,smj->sij", A, A)
-    w, v = jnp.linalg.eigh(AtA)           # ascending eigenvalues
+    _, v = jnp.linalg.eigh(AtA)           # ascending eigenvalues
     return v[..., :, 0]
 
 

@@ -66,7 +66,6 @@ def _top2_update(run_d1, run_i1, run_d2, d_tile, col_base):
 
     Returns updated (d1, i1, d2). Only the best index is tracked (the ratio
     test needs d2's value, not its index)."""
-    tn = d_tile.shape[1]
     t1 = jnp.min(d_tile, axis=1)
     a1 = jnp.argmin(d_tile, axis=1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, d_tile.shape, 1)

@@ -160,3 +160,21 @@ def test_full_pipeline_on_rendered_scene(tmp_path, rng):
     pm = np.asarray(s.poses.mask)
     ate = metrics.ate_rmse(np.asarray(s.poses.C)[pm], scene["Cs"][pm])
     assert ate < 0.15, ate     # scene scale ~8
+
+
+def test_feature_cache_resume(tmp_path, rng):
+    """Second run must reuse cached .feat/.desc artifacts (resume parity)."""
+    import time
+    from regard3d_tpu.pipeline import features as fm2
+    imgs = [rng.uniform(size=(64, 64)).astype(np.float32) for _ in range(2)]
+    out = str(tmp_path)
+    c1 = fm2.extract_features(imgs, out, threshold=0.001, max_keypoints=128)
+    stamp = os.path.getmtime(fm2.feat_path(out, 0))
+    time.sleep(0.05)
+    c2 = fm2.extract_features(imgs, out, threshold=0.001, max_keypoints=128)
+    assert c1 == c2
+    assert os.path.getmtime(fm2.feat_path(out, 0)) == stamp  # untouched
+    # force=True regenerates
+    fm2.extract_features(imgs, out, threshold=0.001, max_keypoints=128,
+                         force=True)
+    assert os.path.getmtime(fm2.feat_path(out, 0)) > stamp
