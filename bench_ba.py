@@ -1,0 +1,108 @@
+"""Secondary benchmark: bundle-adjustment LM iterations/s.
+
+BASELINE.json's second metric ("BA iters/s at 1/N hosts"). Builds a
+synthetic Tanks&Temples-scale problem (300 cameras, 50k points, ~600k
+observations) and times the full damped LM trial step (linearize ->
+implicit-Schur CG(20) -> update) on the available backend.
+
+Run: ``python bench_ba.py [--cams 300] [--pts 50000] [--obs-per-pt 12]``
+Prints one JSON line (not driver-consumed; bench.py stays the headline).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_problem(n_cams, n_pts, obs_per_pt, seed=0):
+    import jax.numpy as jnp
+    from regard3d_tpu.ba import lm
+    from regard3d_tpu.core import cameras
+    from regard3d_tpu.core.types import RADIAL_K3
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_pts, 3)) * [20, 15, 5] + [0, 0, 30]
+    # cameras on a ring
+    a = np.linspace(0, 2 * np.pi, n_cams, endpoint=False)
+    C = np.stack([40 * np.sin(a), rng.normal(size=n_cams),
+                  30 - 40 * np.cos(a)], -1)
+    Rm = np.stack([np.asarray(cameras.exp_so3(jnp.asarray([0.0, t, 0.0])))
+                   for t in a])
+    intr = np.zeros((1, 9), np.float32)
+    intr[0, :3] = [1200.0, 960.0, 540.0]
+    intr[0, 3] = -0.1
+
+    # each point observed by obs_per_pt random cameras
+    O = n_pts * obs_per_pt
+    pid = np.repeat(np.arange(n_pts), obs_per_pt)
+    vid = rng.integers(0, n_cams, O)
+    uv, _ = cameras.project(jnp.asarray(Rm[vid]), jnp.asarray(C[vid]),
+                            jnp.int32(RADIAL_K3), jnp.asarray(intr[0]),
+                            jnp.asarray(X[pid]))
+    uv = np.asarray(uv) + rng.normal(size=(O, 2)) * 0.5
+
+    obs = lm.BAObservations(
+        view_id=jnp.asarray(vid, jnp.int32),
+        intr_id=jnp.zeros((O,), jnp.int32),
+        point_id=jnp.asarray(pid, jnp.int32),
+        model=jnp.full((O,), RADIAL_K3, jnp.int32),
+        xy=jnp.asarray(uv, jnp.float32),
+        weight=jnp.ones((O,), jnp.float32))
+    state = lm.BAState(
+        R=jnp.asarray(Rm + rng.normal(size=Rm.shape) * 0.001, jnp.float32),
+        C=jnp.asarray(C + rng.normal(size=C.shape) * 0.02, jnp.float32),
+        intr=jnp.asarray(intr),
+        X=jnp.asarray(X + rng.normal(size=X.shape) * 0.02, jnp.float32))
+    return state, obs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=300)
+    ap.add_argument("--pts", type=int, default=50000)
+    ap.add_argument("--obs-per-pt", type=int, default=12)
+    ap.add_argument("--cg", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from regard3d_tpu.ba import lm
+
+    state, obs = build_problem(args.cams, args.pts, args.obs_per_pt)
+    fixed = jnp.zeros((args.cams,), bool).at[0].set(True)
+    intr_mask = jnp.zeros((1, 9), bool)
+    opts = lm.BAOptions(cg_iterations=args.cg)
+    layout = lm.make_layout(obs, args.cams, args.pts, 1)
+    print("# layout:", "gather" if layout is not None else "segment_sum")
+
+    @jax.jit
+    def trial(state, lam):
+        return lm.lm_trial(state, lam, obs, opts, fixed, intr_mask,
+                           layout=layout)
+
+    lam = jnp.float32(1e-4)
+    out = trial(state, lam)
+    jax.block_until_ready(out.X)
+    t0 = time.time()
+    iters = 10
+    cur = state
+    for _ in range(iters):
+        cur = trial(cur, lam)
+    jax.block_until_ready(cur.X)
+    dt = (time.time() - t0) / iters
+
+    O = obs.xy.shape[0]
+    print(json.dumps({
+        "metric": "ba_lm_iters_per_s",
+        "value": round(1.0 / dt, 3),
+        "unit": (f"LM trial steps/s ({args.cams} cams, {args.pts} pts, "
+                 f"{O} obs, CG{args.cg})"),
+        "backend": jax.default_backend(),
+        "ms_per_iter": round(dt * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -167,7 +167,8 @@ class _Normal(NamedTuple):
     gi: jnp.ndarray       # (K, 9)
 
 
-def _normal_blocks(state, obs, opts, axis_name=None) -> _Normal:
+def _normal_blocks(state, obs, opts, axis_name=None,
+                   layout=None) -> _Normal:
     r, A, B, Ji, w = _build_blocks(state, obs, opts)
     V = state.R.shape[0]
     L = state.X.shape[0]
@@ -175,18 +176,20 @@ def _normal_blocks(state, obs, opts, axis_name=None) -> _Normal:
     wA = A * w[:, None, None]
     wB = B * w[:, None, None]
     wJi = Ji * w[:, None, None]
-    U = _psum(segment_sum(jnp.einsum("oki,okj->oij", wA, A), obs.view_id, V),
-              axis_name)
-    Vl = _psum(segment_sum(jnp.einsum("oki,okj->oij", wB, B), obs.point_id,
-                           L), axis_name)
-    Ui = _psum(segment_sum(jnp.einsum("oki,okj->oij", wJi, Ji), obs.intr_id,
-                           K), axis_name)
-    gc = _psum(segment_sum(jnp.einsum("oki,ok->oi", wA, r), obs.view_id, V),
-               axis_name)
-    gp = _psum(segment_sum(jnp.einsum("oki,ok->oi", wB, r), obs.point_id, L),
-               axis_name)
-    gi = _psum(segment_sum(jnp.einsum("oki,ok->oi", wJi, r), obs.intr_id, K),
-               axis_name)
+    if layout is not None:
+        red_c = lambda x: _reduce(x, layout.cam_rows, layout.cam_mask)
+        red_p = lambda x: _reduce(x, layout.pt_rows, layout.pt_mask)
+        red_i = lambda x: _reduce(x, layout.intr_rows, layout.intr_mask)
+    else:
+        red_c = lambda x: segment_sum(x, obs.view_id, V)
+        red_p = lambda x: segment_sum(x, obs.point_id, L)
+        red_i = lambda x: segment_sum(x, obs.intr_id, K)
+    U = _psum(red_c(jnp.einsum("oki,okj->oij", wA, A)), axis_name)
+    Vl = _psum(red_p(jnp.einsum("oki,okj->oij", wB, B)), axis_name)
+    Ui = _psum(red_i(jnp.einsum("oki,okj->oij", wJi, Ji)), axis_name)
+    gc = _psum(red_c(jnp.einsum("oki,ok->oi", wA, r)), axis_name)
+    gp = _psum(red_p(jnp.einsum("oki,ok->oi", wB, r)), axis_name)
+    gi = _psum(red_i(jnp.einsum("oki,ok->oi", wJi, r)), axis_name)
     return _Normal(A, B, Ji, w, U, Vl, Ui, gc, gp, gi)
 
 
@@ -199,7 +202,7 @@ def _damped_inv(M, lam, eps=1e-12):
 
 def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
                  opts: BAOptions, fixed_pose_mask, intr_dof_mask,
-                 axis_name=None):
+                 axis_name=None, layout=None):
     """One damped Schur/CG solve. Returns (dc (V,6), dp (L,3), di (K,9))."""
     V = nb.U.shape[0]
     L = nb.Vl.shape[0]
@@ -222,32 +225,36 @@ def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
     wB = nb.B * nb.w[:, None, None]
     wJi = nb.Ji * nb.w[:, None, None]
 
+    if layout is not None:
+        red_c = lambda x: _reduce(x, layout.cam_rows, layout.cam_mask)
+        red_p = lambda x: _reduce(x, layout.pt_rows, layout.pt_mask)
+        red_i = lambda x: _reduce(x, layout.intr_rows, layout.intr_mask)
+    else:
+        red_c = lambda x: segment_sum(x, obs.view_id, V)
+        red_p = lambda x: segment_sum(x, obs.point_id, L)
+        red_i = lambda x: segment_sum(x, obs.intr_id, K)
+
     def WT_x(xc, xi):
         """W^T [xc; xi] -> per-point 3-vectors."""
         ax = jnp.einsum("oki,oi->ok", nb.A, xc[obs.view_id])
         ix = jnp.einsum("oki,oi->ok", nb.Ji, xi[obs.intr_id])
-        return _psum(segment_sum(jnp.einsum("oki,ok->oi", wB, ax + ix),
-                                 obs.point_id, L), axis_name)
+        return _psum(red_p(jnp.einsum("oki,ok->oi", wB, ax + ix)), axis_name)
 
     def W_y(yp):
         """W y -> (camera part, intrinsic part)."""
         by = jnp.einsum("oki,oi->ok", nb.B, yp[obs.point_id])
-        c = _psum(segment_sum(jnp.einsum("oki,ok->oi", wA, by), obs.view_id,
-                              V), axis_name)
-        i = _psum(segment_sum(jnp.einsum("oki,ok->oi", wJi, by), obs.intr_id,
-                              K), axis_name)
+        c = _psum(red_c(jnp.einsum("oki,ok->oi", wA, by)), axis_name)
+        i = _psum(red_i(jnp.einsum("oki,ok->oi", wJi, by)), axis_name)
         return c, i
 
     def cross_ci(xc):
         """Sum_o Ji^T w A xc — direct cam<->intr coupling."""
         ax = jnp.einsum("oki,oi->ok", nb.A, xc[obs.view_id])
-        return _psum(segment_sum(jnp.einsum("oki,ok->oi", wJi, ax),
-                                 obs.intr_id, K), axis_name)
+        return _psum(red_i(jnp.einsum("oki,ok->oi", wJi, ax)), axis_name)
 
     def cross_ic(xi):
         ix = jnp.einsum("oki,oi->ok", nb.Ji, xi[obs.intr_id])
-        return _psum(segment_sum(jnp.einsum("oki,ok->oi", wA, ix),
-                                 obs.view_id, V), axis_name)
+        return _psum(red_c(jnp.einsum("oki,ok->oi", wA, ix)), axis_name)
 
     def S_mv(x):
         """Implicit reduced-system matvec over stacked [cams; intrinsics]."""
@@ -326,13 +333,14 @@ def _intr_dof_mask(models, refine: bool, dtype):
 
 
 def lm_trial(state, lam, obs, opts, fixed_pose_mask, intr_mask,
-             center_prior=None, axis_name=None):
+             center_prior=None, axis_name=None, layout=None):
     """One damped LM trial step (linearize + Schur/CG solve + apply).
 
     Pure function of replicated state and (possibly sharded) observations;
     under ``shard_map`` pass the mesh axis holding the observation shards as
-    ``axis_name`` and every reduction gains a psum."""
-    nb = _normal_blocks(state, obs, opts, axis_name)
+    ``axis_name`` and every reduction gains a psum.  ``layout`` switches the
+    reductions to the scatter-free gather path (see BALayout)."""
+    nb = _normal_blocks(state, obs, opts, axis_name, layout)
     if center_prior is not None and opts.center_prior_weight > 0:
         w = opts.center_prior_weight
         eye_c = jnp.zeros((6, 6), state.X.dtype).at[3:, 3:].set(
@@ -341,7 +349,7 @@ def lm_trial(state, lam, obs, opts, fixed_pose_mask, intr_mask,
             U=nb.U + w * eye_c[None],
             gc=nb.gc.at[:, 3:].add(w * (state.C - center_prior)))
     dc, dp, di = _solve_schur(nb, obs, lam, state, opts,
-                              fixed_pose_mask, intr_mask, axis_name)
+                              fixed_pose_mask, intr_mask, axis_name, layout)
     return _apply_step(state, dc, dp, di)
 
 
@@ -378,10 +386,12 @@ def bundle_adjust(state: BAState, obs: BAObservations,
 
     cost_fn = jax.jit(full_cost)
 
+    layout = make_layout(obs, V, state.X.shape[0], K)
+
     @jax.jit
     def trial(state, lam):
         new_state = lm_trial(state, lam, obs, opts, fixed_pose_mask,
-                             intr_mask, center_prior)
+                             intr_mask, center_prior, layout=layout)
         return new_state, cost_fn(new_state, obs)
 
     cost = float(cost_fn(state, obs))
@@ -403,3 +413,67 @@ def bundle_adjust(state: BAState, obs: BAObservations,
             if lam > opts.max_lambda:
                 break
     return state, BAStats(initial, cost, it, lam)
+
+
+# ---------------------------------------------------------------------------
+# Gather-based reduction layout (TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# ``segment_sum`` lowers to scatter-add, which serializes badly on TPU; the
+# LM trial above spends most of its time there.  The TPU-native layout
+# replaces every scatter with a *gather + dense masked sum*: host-side we
+# build padded index tables rows_of_camera (V, Nc) and rows_of_point (L, Np)
+# into the observation table, and each reduction becomes
+#     arr[rows].reshape(V, Nc, ...) .sum(axis=1)
+# — pure gathers and reductions the compiler pipelines well.  Padding uses
+# row 0 with weight 0 via the mask.
+
+class BALayout(NamedTuple):
+    cam_rows: jnp.ndarray     # (V, Nc) int32 obs indices (0-padded)
+    cam_mask: jnp.ndarray     # (V, Nc) float
+    pt_rows: jnp.ndarray      # (L, Np) int32
+    pt_mask: jnp.ndarray      # (L, Np) float
+    intr_rows: jnp.ndarray    # (K, Ni) int32
+    intr_mask: jnp.ndarray    # (K, Ni) float
+
+
+def make_layout(obs: BAObservations, num_cams: int, num_points: int,
+                num_intrinsics: int, max_pad_factor: float = 4.0
+                ) -> Optional[BALayout]:
+    """Build the gather layout host-side; returns None when padding would
+    blow memory (fall back to segment_sum)."""
+    import numpy as onp
+
+    def table(ids, n):
+        ids = onp.asarray(ids)
+        counts = onp.bincount(ids, minlength=n)
+        cap = max(int(counts.max()), 1)
+        if cap * n > max_pad_factor * max(len(ids), 1):
+            return None
+        rows = onp.zeros((n, cap), onp.int32)
+        mask = onp.zeros((n, cap), onp.float32)
+        order = onp.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        # position within segment
+        boundaries = onp.searchsorted(sorted_ids, onp.arange(n))
+        pos = onp.arange(len(ids)) - boundaries[sorted_ids]
+        rows[sorted_ids, pos] = order
+        mask[sorted_ids, pos] = 1.0
+        return rows, mask
+
+    ct = table(obs.view_id, num_cams)
+    pt = table(obs.point_id, num_points)
+    it = table(obs.intr_id, num_intrinsics)
+    if ct is None or pt is None or it is None:
+        return None
+    return BALayout(jnp.asarray(ct[0]), jnp.asarray(ct[1]),
+                    jnp.asarray(pt[0]), jnp.asarray(pt[1]),
+                    jnp.asarray(it[0]), jnp.asarray(it[1]))
+
+
+def _reduce(per_obs, rows, mask):
+    """sum_{obs in segment} per_obs[obs] via gather+sum. per_obs: (O, ...);
+    rows/mask: (n, cap). Returns (n, ...)."""
+    g = per_obs[rows]                              # (n, cap, ...)
+    m = mask.reshape(mask.shape + (1,) * (per_obs.ndim - 1))
+    return jnp.sum(g * m, axis=1)

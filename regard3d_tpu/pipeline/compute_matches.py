@@ -231,16 +231,55 @@ def geometric_filter(kps, putative: Dict[Tuple[int, int], np.ndarray],
     return FilterResult(out_f, out_e, out_h, stats)
 
 
+def write_stage_sfm_data(out_dir: str, image_sizes: np.ndarray,
+                         focals: Optional[np.ndarray],
+                         image_names: Optional[Sequence[str]] = None):
+    """views+intrinsics sfm_data.json + legacy lists.txt in the matches dir
+    (writeSfmData / ensureSfmDataExists parity, src/R3DProject.cpp:1118,
+    SURVEY.md §A.4)."""
+    from regard3d_tpu.core import sfm_data as sd
+    from regard3d_tpu.core.types import RADIAL_K3, Scene
+    import jax.numpy as jnp
+    V = len(image_sizes)
+    s = Scene.empty(V, V, 1, 1)
+    f = (np.asarray(focals) if focals is not None
+         else 1.1 * image_sizes.max(1))
+    params = np.zeros((V, 9), np.float32)
+    params[:, 0] = f
+    params[:, 1] = image_sizes[:, 0] / 2.0
+    params[:, 2] = image_sizes[:, 1] / 2.0
+    s = s.replace(
+        views=s.views.replace(
+            width=jnp.asarray(image_sizes[:, 0].astype(np.int32)),
+            height=jnp.asarray(image_sizes[:, 1].astype(np.int32)),
+            intrinsic_id=jnp.arange(V, dtype=jnp.int32),
+            mask=jnp.ones((V,), bool)),
+        intrinsics=s.intrinsics.replace(
+            model=jnp.full((V,), RADIAL_K3, jnp.int32),
+            params=jnp.asarray(params),
+            width=jnp.asarray(image_sizes[:, 0].astype(np.int32)),
+            height=jnp.asarray(image_sizes[:, 1].astype(np.int32)),
+            mask=jnp.ones((V,), bool)))
+    sd.save_json(os.path.join(out_dir, "sfm_data.json"), s, image_names)
+    with open(os.path.join(out_dir, "lists.txt"), "w") as fh:
+        for i in range(V):
+            name = image_names[i] if image_names else f"image{i:06d}.jpg"
+            fh.write(f"{name};{image_sizes[i, 0]};{image_sizes[i, 1]}\n")
+
+
 def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         threshold: float = 0.0007,
                         cfg: MatchConfig = MatchConfig(),
                         focals: Optional[np.ndarray] = None,
                         max_keypoints: int = 4096,
                         force: bool = False,
+                        image_names: Optional[Sequence[str]] = None,
                         progress=None) -> Dict:
     """Full compute-matches step on a list of gray images. Returns stats."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    sizes0 = np.asarray([[im.shape[1], im.shape[0]] for im in images])
+    write_stage_sfm_data(out_dir, sizes0, focals, image_names)
     counts = feat_mod.extract_features(images, out_dir, threshold,
                                        max_keypoints, force=force,
                                        progress=progress)

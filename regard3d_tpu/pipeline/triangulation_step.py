@@ -38,6 +38,7 @@ class TriangulationParams:
     refine_intrinsics: bool = True
     use_gps: bool = False
     matches_kind: str = "f"           # global engine requires "e" (:222)
+    min_pair_matches: int = 30        # global: pair-support gate
 
 
 def build_sfm_inputs(matches_dir: str, num_images: int,
@@ -152,7 +153,8 @@ def run_triangulation(matches_dir: str, out_dir: str,
             inputs, global_sfm.GlobalConfig(
                 rotation_loss=params.rotation_averaging,
                 translation_loss=params.translation_averaging,
-                refine_intrinsics=params.refine_intrinsics), seed=seed)
+                refine_intrinsics=params.refine_intrinsics,
+                min_pair_inliers=params.min_pair_matches), seed=seed)
     else:
         init = params.initial_pair if params.engine == "incremental" else None
         result = incremental.run_incremental(

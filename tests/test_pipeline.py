@@ -178,3 +178,46 @@ def test_feature_cache_resume(tmp_path, rng):
     fm2.extract_features(imgs, out, threshold=0.001, max_keypoints=128,
                          force=True)
     assert os.path.getmtime(fm2.feat_path(out, 0)) > stamp
+
+
+def test_stage_sfm_data(tmp_path):
+    from regard3d_tpu.pipeline.compute_matches import write_stage_sfm_data
+    sizes = np.asarray([[640, 480], [640, 480]])
+    write_stage_sfm_data(str(tmp_path), sizes, np.asarray([500.0, 510.0]),
+                         ["a.jpg", "b.jpg"])
+    d = json.load(open(os.path.join(str(tmp_path), "sfm_data.json")))
+    assert len(d["views"]) == 2 and len(d["intrinsics"]) == 2
+    assert d["intrinsics"][0]["value"]["data"]["focal_length"] == 500.0
+    lists = open(os.path.join(str(tmp_path), "lists.txt")).read().splitlines()
+    assert lists[0] == "a.jpg;640;480"
+
+
+def test_triangulation_driver_global_engine(tmp_path, rng):
+    """Drive run_triangulation(engine=global) from synthetic artifacts."""
+    import sys
+    from tests.test_incremental import synth_scene
+    from regard3d_tpu.pipeline import features as fm2
+    scene = synth_scene(rng, n_cams=6, visibility=0.9, noise_px=0.15)
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    for v, (ids, uv) in enumerate(scene["feats"]):
+        desc = np.zeros((len(uv), 144), np.float32)
+        fm2.save_features(mdir, v, uv, np.full(len(uv), 8.0),
+                          np.zeros(len(uv)), desc)
+    cm.save_matches_txt(os.path.join(mdir, "matches.e.txt"),
+                        scene["matches"])
+    out = str(tmp_path / "t")
+    V = 6
+    images = [np.full((scene["h"], scene["w"]), 0.5, np.float32)] * V
+    stats = ts.run_triangulation(
+        mdir, out, images,
+        intr_id=np.zeros(V, np.int32), intr=scene["intr"],
+        models=np.asarray([scene["model"]], np.int32),
+        params=ts.TriangulationParams(engine="global",
+                                      rotation_averaging="l2",
+                                      translation_averaging="softl1",
+                                      refine_intrinsics=False,
+                                      min_pair_matches=15))
+    assert stats["num_cameras"] == 6, stats
+    assert stats["rms_px"] < 1.0, stats
+    assert os.path.exists(os.path.join(out, "sfm_data.json"))
