@@ -211,3 +211,25 @@ def mutual_filter(idx_ab, ok_ab, idx_ba, ok_ba):
 # Batched over a block of pairs: descriptors (P, M, D) vs (P, N, D).
 match_pairs_batched = jax.vmap(match_pair,
                                in_axes=(0, 0, 0, 0, None, None, None, None))
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "use_pallas",
+                                             "tile_m", "tile_n", "bf16"))
+def match_pair_block(desc, mask, pairs, ratio: float = 0.8,
+                     use_pallas: bool = True, tile_m: int = 256,
+                     tile_n: int = 256, bf16: bool = False):
+    """Match a block of image pairs in one dispatch (P2 pair-block
+    parallelism). desc: (B, N, D) padded descriptors; mask: (B, N);
+    pairs: (P, 2) int32 image indices. Returns (idx (P, N), d1, ok)."""
+    da = desc[pairs[:, 0]]
+    db = desc[pairs[:, 1]]
+    ma = mask[pairs[:, 0]]
+    mb = mask[pairs[:, 1]]
+    if use_pallas:
+        f = jax.vmap(lambda a, b, m: l2_top2_pallas(a, b, m, tile_m, tile_n,
+                                                    bf16))
+        d1, i1, d2 = f(da, db, mb)
+        ok = ma & (d1 < (ratio * ratio) * d2) & (d1 < 1e30)
+        return i1, d1, ok
+    f = jax.vmap(lambda a, am, b, bm: match_pair(a, am, b, bm, ratio, False))
+    return f(da, ma, db, mb)

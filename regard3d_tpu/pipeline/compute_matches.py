@@ -119,29 +119,32 @@ def match_all_pairs(kps, descs, cfg: MatchConfig,
     use_pallas = (jax.default_backend() == "tpu"
                   and N % 256 == 0 and D % 128 == 0)
 
-    @jax.jit
-    def run_pair(da, ma, db, mb):
-        return match_mod.match_pair(da, ma, db, mb, cfg.ratio,
-                                    use_pallas, 256, 256)
-
-    @jax.jit
-    def run_pair_back(db, mb, da, ma):
-        return match_mod.match_pair(db, mb, da, ma, cfg.ratio,
-                                    use_pallas, 256, 256)
-
     out = {}
-    for k, (i, j) in enumerate(pairs):
-        idx, d1, ok = run_pair(descs.data[i], descs.mask[i],
-                               descs.data[j], descs.mask[j])
+    # fixed-size pair blocks: one device dispatch per block (P2 pair-block
+    # parallelism; kills per-pair dispatch overhead at many-image scale)
+    BLOCK = 16
+    total = len(pairs)
+    padded = pairs + [pairs[-1]] * ((-len(pairs)) % BLOCK)
+    for start in range(0, len(padded), BLOCK):
+        chunk = padded[start:start + BLOCK]
+        parr = jnp.asarray(np.asarray(chunk, np.int32))
+        idx, d1, ok = match_mod.match_pair_block(
+            descs.data, descs.mask, parr, cfg.ratio, use_pallas)
         if cfg.mutual:
-            idx_b, _, ok_b = run_pair_back(descs.data[j], descs.mask[j],
-                                           descs.data[i], descs.mask[i])
-            ok = match_mod.mutual_filter(idx, ok, idx_b, ok_b)
+            rev = jnp.stack([parr[:, 1], parr[:, 0]], -1)
+            idx_b, _, ok_b = match_mod.match_pair_block(
+                descs.data, descs.mask, rev, cfg.ratio, use_pallas)
+            ok = jax.vmap(match_mod.mutual_filter)(idx, ok, idx_b, ok_b)
+        idx_np = np.asarray(idx)
         ok_np = np.asarray(ok)
-        ia = np.where(ok_np)[0]
-        out[(i, j)] = np.stack([ia, np.asarray(idx)[ia]], -1).astype(np.int64)
-        if progress:
-            progress(k + 1, len(pairs))
+        for bi, (i, j) in enumerate(chunk):
+            if start + bi >= total:
+                break
+            ia = np.where(ok_np[bi])[0]
+            out[(i, j)] = np.stack([ia, idx_np[bi][ia]],
+                                   -1).astype(np.int64)
+            if progress:
+                progress(min(start + bi + 1, total), total)
     return out
 
 

@@ -118,13 +118,33 @@ def tracks_in_views(table: TrackTable, views: List[int]) -> np.ndarray:
 
 
 def shared_track_count(table: TrackTable, num_views: int) -> np.ndarray:
-    """(V, V) matrix of co-visible track counts (vectorized; used for
-    initial-pair / next-view selection)."""
+    """(V, V) matrix of co-visible track counts (used for initial-pair /
+    next-view selection).
+
+    Sparse formulation: enumerate within-track view pairs directly (total
+    work sum_t k_t^2 — track lengths are small), so city-scale scenes never
+    materialize a (V, T) incidence matrix."""
     V = num_views
-    # rows sorted by track already; for each track enumerate view pairs via
-    # a sparse incidence product: M[v, t] = 1 -> counts = M M^T
-    M = np.zeros((V, table.num_tracks), np.float32)
-    M[table.view_id, table.track_id] = 1.0
-    counts = (M @ M.T).astype(np.int64)
-    np.fill_diagonal(counts, 0)
+    counts = np.zeros((V, V), np.int64)
+    if len(table.track_id) == 0:
+        return counts
+    order = np.lexsort((table.view_id, table.track_id))
+    tid = table.track_id[order]
+    vid = table.view_id[order]
+    # segment boundaries per track
+    starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+    ends = np.r_[starts[1:], len(tid)]
+    lens = ends - starts
+    # enumerate pairs per track, bucketed by track length (vectorized)
+    for k in np.unique(lens):
+        if k < 2:
+            continue
+        sel = starts[lens == k]
+        idx = sel[:, None] + np.arange(k)[None, :]     # (n_tracks_k, k)
+        vs = vid[idx]                                   # views per track
+        iu, ju = np.triu_indices(k, 1)
+        a = vs[:, iu].ravel()
+        b = vs[:, ju].ravel()
+        np.add.at(counts, (a, b), 1)
+        np.add.at(counts, (b, a), 1)
     return counts
