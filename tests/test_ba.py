@@ -171,3 +171,39 @@ def test_ba_masked_observations_ignored(rng):
     r = np.asarray(lm.compute_residuals(out, obs))
     rms_live = np.sqrt((r[50:] ** 2).sum(-1).mean())
     assert rms_live < 0.05
+
+
+def test_layout_reductions_match_segment_sum(rng):
+    """Gather-layout fast path must agree with the scatter path."""
+    state, gt, obs = synth_ba_problem(rng, n_cams=5, n_pts=40, noise_px=0.2)
+    layout = lm.make_layout(obs, 5, 40, 1)
+    assert layout is not None
+    nb1 = lm._normal_blocks(state, obs, lm.BAOptions())
+    nb2 = lm._normal_blocks(state, obs, lm.BAOptions(), layout=layout)
+    # f32 summation order differs between scatter and gather paths
+    np.testing.assert_allclose(np.asarray(nb1.U), np.asarray(nb2.U),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(nb1.Vl), np.asarray(nb2.Vl),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(nb1.gc), np.asarray(nb2.gc),
+                               rtol=5e-4, atol=1e-2)
+    # a full trial step agrees too
+    fixed = jnp.zeros((5,), bool).at[0].set(True)
+    imask = jnp.zeros((1, 9), bool)
+    s1 = lm.lm_trial(state, jnp.float32(1e-3), obs, lm.BAOptions(),
+                     fixed, imask)
+    s2 = lm.lm_trial(state, jnp.float32(1e-3), obs, lm.BAOptions(),
+                     fixed, imask, layout=layout)
+    np.testing.assert_allclose(np.asarray(s1.C), np.asarray(s2.C),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_layout_falls_back_on_skew(rng):
+    """A pathologically skewed distribution (one camera sees everything)
+    must return None (padding blow-up guard)."""
+    state, gt, obs = synth_ba_problem(rng, n_cams=6, n_pts=120)
+    vid = np.asarray(obs.view_id).copy()
+    vid[:600] = 0                     # camera 0 hogs most observations
+    vid[600:] = np.arange(120)[: len(vid) - 600] % 6
+    obs2 = obs._replace(view_id=jnp.asarray(vid))
+    assert lm.make_layout(obs2, 6, 120, 1, max_pad_factor=2.0) is None
