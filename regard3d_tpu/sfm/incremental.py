@@ -297,19 +297,19 @@ def run_incremental(inputs: SfMInputs,
     order_added = [i0, j0]
     failed_at: Dict[int, int] = {}     # view -> score when resection failed
     while True:
-        # candidate views scored by #visible triangulated tracks; a view
-        # that failed resection is retried only once its score grows 20%
+        # candidate views scored by #visible triangulated tracks (one
+        # bincount pass); a view that failed resection is retried only
+        # once its score grows 20%
+        vis_rows = obs_active & track_ok[tid_np]
+        scores = np.bincount(vid_np[vis_rows], minlength=V)
         cand_scores = {}
-        for v in range(V):
-            if pose_mask[v]:
-                continue
-            rows = np.where((vid_np == v) & obs_active)[0]
-            vis = int(track_ok[tid_np[rows]].sum())
+        for v in np.nonzero(~pose_mask)[0]:
+            vis = int(scores[v])
             if vis < cfg.min_resection_points:
                 continue
             if v in failed_at and vis < 1.2 * failed_at[v]:
                 continue
-            cand_scores[v] = vis
+            cand_scores[int(v)] = vis
         if not cand_scores:
             break
         v = max(cand_scores, key=cand_scores.get)
