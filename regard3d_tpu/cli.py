@@ -108,6 +108,7 @@ def cmd_matches(args):
             cfg=cm.MatchConfig(ratio=args.ratio, matcher=args.matcher,
                                ransac_iters=args.ransac_iters),
             focals=focals, max_keypoints=args.max_keypoints,
+            detector=args.detector,
             progress=_progress("matching"))
     except Exception as e:
         p.fail(obj.id, str(e))
@@ -381,6 +382,10 @@ def build_parser():
     s.add_argument("project")
     s.add_argument("--sensitivity", default="normal",
                    choices=["minimal", "normal", "high", "ultra"])
+    s.add_argument("--detector", default="fast-akaze",
+                   help="fast-akaze | akaze | gftt | orb | brisk | mser | "
+                        "tbmr (GUI menu + experimental code paths, "
+                        "src/Regard3DFeatures.cpp:574-683)")
     s.add_argument("--ratio", type=float, default=0.8,
                    choices=None)
     s.add_argument("--matcher", default="brute-force")

@@ -60,6 +60,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.r3d_parse_feats.restype = ctypes.c_int64
         lib.r3d_parse_feats.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.r3d_mser.restype = ctypes.c_int64
+        lib.r3d_mser.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.r3d_tbmr.restype = ctypes.c_int64
+        lib.r3d_tbmr.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64]
         lib.r3d_native_version.restype = ctypes.c_char_p
         _lib = lib
         return _lib
@@ -80,6 +90,61 @@ def union_find(edges: np.ndarray, num_nodes: int) -> Optional[np.ndarray]:
     if n < 0:
         return None
     return labels
+
+
+def mser(img_u8: np.ndarray, delta: int = 5, min_area: int = 60,
+         max_area: int = 14400, max_variation: float = 0.25,
+         min_diversity: float = 0.2,
+         max_out: int = 1 << 16) -> Optional[np.ndarray]:
+    """MSER keypoints over both polarities (cv::MSER::create() default
+    parameters, src/Regard3DFeatures.cpp:652-662).  img_u8: (H, W) uint8.
+    Returns (N, 4) float32 rows (cx, cy, kp_size, area), or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    h, w = img_u8.shape
+    out = np.empty((max_out, 4), np.float32)
+    n = lib.r3d_mser(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        delta, min_area, max_area, max_variation, min_diversity,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_out)
+    if n < 0:
+        return None
+    return out[:n].copy()
+
+
+def tbmr(img_u8: np.ndarray, minimum_size: int = 30,
+         maximum_relative_area: float = 0.01, both_polarities: bool = True,
+         max_out: int = 1 << 16) -> Optional[np.ndarray]:
+    """TBMR affine regions (OpenMVG features::tbmr::Extract_tbmr parity,
+    src/Regard3DFeatures.cpp:630; minimumSize=30, maximumRelativeArea=0.01).
+    img_u8: (H, W) uint8.  Returns (N, 6) float32 rows
+    (x, y, l1, l2, orientation_rad, area), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    h, w = img_u8.shape
+    out = np.empty((max_out, 6), np.float32)
+    n = lib.r3d_tbmr(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        minimum_size, maximum_relative_area,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_out)
+    if n < 0:
+        return None
+    rows = [out[:n].copy()]
+    if both_polarities and n >= 0:
+        inv = np.ascontiguousarray(255 - img_u8)
+        out2 = np.empty((max_out, 6), np.float32)
+        n2 = lib.r3d_tbmr(
+            inv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            minimum_size, maximum_relative_area,
+            out2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_out)
+        if n2 > 0:
+            rows.append(out2[:n2].copy())
+    return np.concatenate(rows, 0)
 
 
 def parse_feats(path: str, max_rows: int = 1 << 20) -> Optional[np.ndarray]:

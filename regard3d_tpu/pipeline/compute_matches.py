@@ -277,6 +277,7 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         max_keypoints: int = 4096,
                         force: bool = False,
                         image_names: Optional[Sequence[str]] = None,
+                        detector: str = "fast-akaze",
                         progress=None) -> Dict:
     """Full compute-matches step on a list of gray images. Returns stats."""
     t0 = time.time()
@@ -285,6 +286,7 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
     write_stage_sfm_data(out_dir, sizes0, focals, image_names)
     counts = feat_mod.extract_features(images, out_dir, threshold,
                                        max_keypoints, force=force,
+                                       detector=detector,
                                        progress=progress)
     kps, descs = feat_mod.load_all_padded(out_dir, len(images), pad_to=256)
     putative = match_all_pairs(kps, descs, cfg, progress=progress)

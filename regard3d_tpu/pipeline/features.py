@@ -26,7 +26,7 @@ import numpy as np
 
 from regard3d_tpu.core.types import Descriptors, Keypoints
 from regard3d_tpu.ingest import image_io
-from regard3d_tpu.kernels import detect, liop
+from regard3d_tpu.kernels import corners, detect, liop
 from regard3d_tpu.kernels.scale_space import ScaleSpaceConfig
 
 LIOP_DIM = liop.LIOP_DIM
@@ -35,6 +35,71 @@ LIOP_DIM = liop.LIOP_DIM
 SENSITIVITY_PRESETS = {
     "minimal": 0.001, "normal": 0.0007, "high": 0.0005, "ultra": 0.0001,
 }
+
+# Detector menu (Regard3DFeatures::detectKeypoints dispatch,
+# src/Regard3DFeatures.cpp:574-683). "akaze"/"fast-akaze" are the shipped
+# GUI entries (src/res/Regard3dMainFrameBase.fbp:9172); the rest are the
+# experimental code paths behind the same dispatch. Device detectors run
+# batched under jit; host detectors are native component-tree algorithms.
+DEVICE_DETECTORS = ("akaze", "fast-akaze", "gftt", "orb", "brisk")
+HOST_DETECTORS = ("mser", "tbmr")
+DETECTORS = DEVICE_DETECTORS + HOST_DETECTORS
+
+_DETECTOR_ALIASES = {
+    "classic-a-kaze": "akaze", "classic-akaze": "akaze",
+    "fast-a-kaze": "fast-akaze", "fastakaze": "fast-akaze",
+}
+# kpSizeFactor table keys (src/Regard3DFeatures.cpp:691-717)
+_FACTOR_KEYS = {"akaze": "AKAZE", "fast-akaze": "Fast-AKAZE", "mser": "MSER",
+                "orb": "ORB", "brisk": "BRISK", "gftt": "GFTT",
+                "tbmr": "TBMR"}
+
+
+def canonical_detector(name: str) -> str:
+    n = name.strip().lower().replace("_", "-").replace(" ", "-")
+    n = _DETECTOR_ALIASES.get(n, n)
+    if n not in DETECTORS:
+        raise ValueError(f"unknown detector {name!r}; choose from {DETECTORS}")
+    return n
+
+
+def detector_kp_size_factor(detector: str) -> float:
+    return liop.KP_SIZE_FACTORS[_FACTOR_KEYS[canonical_detector(detector)]]
+
+
+def _detect_host(img: np.ndarray, detector: str,
+                 max_keypoints: int) -> Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray, np.ndarray]:
+    """MSER / TBMR via the native component-tree runtime. img: (H, W) float
+    in [0,1]. Returns (xy, size, angle, score) numpy arrays (<= max_kp)."""
+    from regard3d_tpu import native
+    g8 = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if detector == "mser":
+        rows = native.mser(g8)
+        if rows is None:
+            raise RuntimeError("MSER requires the native library "
+                               "(native/build.sh)")
+        xy = rows[:, :2]
+        size = rows[:, 2]
+        angle = np.full(len(rows), corners.CV_UNDEFINED_ANGLE, np.float32)
+        score = rows[:, 3]
+    else:  # tbmr
+        rows = native.tbmr(g8)
+        if rows is None:
+            raise RuntimeError("TBMR requires the native library "
+                               "(native/build.sh)")
+        xy = rows[:, :2]
+        # reference keypoint size = sqrt(l1^2 + l2^2)
+        # (src/Regard3DFeatures.cpp:633-637)
+        size = np.sqrt(rows[:, 2] ** 2 + rows[:, 3] ** 2)
+        angle = rows[:, 4] - np.pi / 2.0     # cv-angle -> internal convention
+        score = rows[:, 5]
+    if len(xy) > max_keypoints:
+        order = np.argsort(-score)[:max_keypoints]
+        xy, size, angle, score = xy[order], size[order], angle[order], \
+            score[order]
+    return (xy.astype(np.float32), size.astype(np.float32),
+            angle.astype(np.float32), score.astype(np.float32))
 
 
 def feat_path(out_dir: str, index: int) -> str:
@@ -82,12 +147,16 @@ def has_features(out_dir: str, index: int) -> bool:
 def extract_features(images: Sequence[np.ndarray], out_dir: str,
                      threshold: float = 0.0007,
                      max_keypoints: int = 4096,
-                     kp_size_factor: float = 8.0,
+                     kp_size_factor: Optional[float] = None,
                      force: bool = False,
+                     detector: str = "fast-akaze",
                      progress=None) -> List[int]:
     """Detect + describe every image; write artifacts; return keypoint
     counts. Cached images are skipped (resume semantics)."""
     os.makedirs(out_dir, exist_ok=True)
+    detector = canonical_detector(detector)
+    if kp_size_factor is None:
+        kp_size_factor = detector_kp_size_factor(detector)
     todo = [i for i in range(len(images))
             if force or not has_features(out_dir, i)]
     counts = [0] * len(images)
@@ -98,16 +167,60 @@ def extract_features(images: Sequence[np.ndarray], out_dir: str,
 
         @jax.jit
         def run_bucket(data, widths, heights):
-            kps = detect.detect_akaze(data, widths, heights, cfg,
-                                      max_keypoints)
+            if detector in ("akaze", "fast-akaze"):
+                # both GUI entries share the scale-space detector (only the
+                # threshold differs in the reference,
+                # src/Regard3DFeatures.cpp:578-614)
+                kps = detect.detect_akaze(data, widths, heights, cfg,
+                                          max_keypoints)
+            elif detector == "gftt":
+                kps = corners.detect_gftt(data, widths, heights,
+                                          max_keypoints)
+            elif detector == "orb":
+                kps = corners.detect_orb(data, widths, heights,
+                                         max_keypoints)
+            elif detector == "brisk":
+                kps = corners.detect_brisk(data, widths, heights,
+                                           max_keypoints)
+            else:
+                raise AssertionError(detector)
             descs = liop.describe_liop(data, kps, kp_size_factor)
             return kps, descs
 
+        @jax.jit
+        def describe_bucket(data, xy, size, angle, mask):
+            kps = Keypoints(xy=xy, scale=size, angle=angle,
+                            score=jnp.zeros_like(size), mask=mask)
+            return kps, liop.describe_liop(data, kps, kp_size_factor)
+
+        def run_host_bucket(b):
+            """Host component-tree detection + device LIOP description."""
+            B = b.data.shape[0]
+            K = max_keypoints
+            xy = np.zeros((B, K, 2), np.float32)
+            size = np.zeros((B, K), np.float32)
+            angle = np.zeros((B, K), np.float32)
+            mask = np.zeros((B, K), bool)
+            for bi in range(B):
+                w, h = b.true_sizes[bi]
+                p, s, a, _ = _detect_host(b.data[bi, :h, :w], detector, K)
+                n = len(p)
+                xy[bi, :n] = p
+                size[bi, :n] = s
+                angle[bi, :n] = a
+                mask[bi, :n] = True
+            return describe_bucket(jnp.asarray(b.data), jnp.asarray(xy),
+                                   jnp.asarray(size), jnp.asarray(angle),
+                                   jnp.asarray(mask))
+
         done = 0
         for b in buckets:
-            kps, descs = run_bucket(jnp.asarray(b.data),
-                                    jnp.asarray(b.true_sizes[:, 0]),
-                                    jnp.asarray(b.true_sizes[:, 1]))
+            if detector in HOST_DETECTORS:
+                kps, descs = run_host_bucket(b)
+            else:
+                kps, descs = run_bucket(jnp.asarray(b.data),
+                                        jnp.asarray(b.true_sizes[:, 0]),
+                                        jnp.asarray(b.true_sizes[:, 1]))
             kps_np = jax.tree_util.tree_map(np.asarray, kps)
             d_np = np.asarray(descs.data)
             for bi, orig_local in enumerate(b.indices):
