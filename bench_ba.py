@@ -7,6 +7,12 @@ implicit-Schur CG(20) -> update) on the available backend.
 
 Run: ``python bench_ba.py [--cams 300] [--pts 50000] [--obs-per-pt 12]``
 Prints one JSON line (not driver-consumed; bench.py stays the headline).
+
+``--mesh N`` times the observation-sharded SPMD path (shard_map + psum,
+``ba/sharded.py``) over an N-device mesh instead of the single-device
+trial — on this machine that means N virtual CPU devices
+(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N);
+on a pod it is the real N-chip "BA iters/s at 1/N hosts" number.
 """
 
 import argparse
@@ -64,9 +70,29 @@ def main():
     ap.add_argument("--pts", type=int, default=50000)
     ap.add_argument("--obs-per-pt", type=int, default=12)
     ap.add_argument("--cg", type=int, default=20)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="N devices: time the shard_map/psum sharded path")
     args = ap.parse_args()
 
+    import os
+    if args.mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
+
     import jax
+    if args.mesh > 1 and os.environ.get("R3D_BENCH_REAL_MESH") != "1":
+        # must run BEFORE backend init (first jax.devices() call); the axon
+        # plugin ignores the JAX_PLATFORMS env var, only the config works.
+        # Set R3D_BENCH_REAL_MESH=1 on a pod with N real chips.
+        jax.config.update("jax_platforms", "cpu")
+    if args.mesh and len(jax.devices()) < args.mesh:
+        raise SystemExit(
+            f"--mesh {args.mesh} needs {args.mesh} devices, "
+            f"have {len(jax.devices())} on {jax.default_backend()}")
     import jax.numpy as jnp
     from regard3d_tpu.ba import lm
 
@@ -74,13 +100,40 @@ def main():
     fixed = jnp.zeros((args.cams,), bool).at[0].set(True)
     intr_mask = jnp.zeros((1, 9), bool)
     opts = lm.BAOptions(cg_iterations=args.cg)
-    layout = lm.make_layout(obs, args.cams, args.pts, 1)
-    print("# layout:", "gather" if layout is not None else "segment_sum")
 
-    @jax.jit
-    def trial(state, lam):
-        return lm.lm_trial(state, lam, obs, opts, fixed, intr_mask,
-                           layout=layout)
+    if args.mesh:
+        from jax.sharding import Mesh, PartitionSpec as P
+        from regard3d_tpu.ba import sharded
+
+        mesh = Mesh(np.asarray(jax.devices()[:args.mesh]), ("obs",))
+        obs = sharded.shard_observations(obs, mesh)
+        intr_models = jnp.zeros((1,), jnp.int32).at[obs.intr_id].set(
+            obs.model)
+        imask = lm._intr_dof_mask(intr_models, opts.refine_intrinsics,
+                                  state.X.dtype)
+        repl, shrd = P(), P("obs")
+        obs_spec = lm.BAObservations(view_id=shrd, intr_id=shrd,
+                                     point_id=shrd, model=shrd, xy=shrd,
+                                     weight=shrd)
+        state_spec = lm.BAState(R=repl, C=repl, intr=repl, X=repl)
+
+        def body(state, lam, obs_shard):
+            return lm.lm_trial(state, lam, obs_shard, opts, fixed, imask,
+                               axis_name="obs")
+
+        trial = jax.jit(jax.shard_map(body, mesh=mesh,
+                                      in_specs=(state_spec, repl, obs_spec),
+                                      out_specs=state_spec))
+        trial_ = trial
+        trial = lambda s, lam: trial_(s, lam, obs)
+    else:
+        layout = lm.make_layout(obs, args.cams, args.pts, 1)
+        print("# layout:", "gather" if layout is not None else "segment_sum")
+
+        @jax.jit
+        def trial(state, lam):
+            return lm.lm_trial(state, lam, obs, opts, fixed, intr_mask,
+                               layout=layout)
 
     lam = jnp.float32(1e-4)
     out = trial(state, lam)
@@ -100,6 +153,7 @@ def main():
         "unit": (f"LM trial steps/s ({args.cams} cams, {args.pts} pts, "
                  f"{O} obs, CG{args.cg})"),
         "backend": jax.default_backend(),
+        "mesh_devices": args.mesh or 1,
         "ms_per_iter": round(dt * 1e3, 1),
     }))
 

@@ -9,7 +9,9 @@ createSurface / export*, src/Regard3DMainFrame.h:80-186) onto subcommands:
     r3d matches <dir> [options]          feature extraction + matching
     r3d sfm <dir> [options]              triangulation (incremental/global)
     r3d export <dir> --format ...        exporter menu
-    r3d densify <dir> [options]          external MVS (CMVS/PMVS, MVE, SMVS)
+    r3d densify <dir> [options]          dense MVS: TPU-native plane sweep
+                                         (--method tpu) or external tools
+                                         (CMVS/PMVS, MVE, SMVS)
     r3d surface <dir> [options]          external surface + texturing
     r3d info <dir>                       show the project tree
 
@@ -428,8 +430,12 @@ def build_parser():
     s = sub.add_parser("densify")
     s.add_argument("project")
     s.add_argument("--method", default="pmvs",
-                   choices=["pmvs", "mve", "smvs"])
+                   choices=["pmvs", "mve", "smvs", "tpu"])
     s.add_argument("--level", type=int, default=1)
+    s.add_argument("--num-planes", type=int, default=96,
+                   help="depth hypotheses (tpu plane sweep)")
+    s.add_argument("--num-sources", type=int, default=6,
+                   help="source views per reference view (tpu)")
     s.add_argument("--csize", type=int, default=2)
     s.add_argument("--threshold", type=float, default=0.7)
     s.add_argument("--wsize", type=int, default=7)

@@ -77,10 +77,15 @@ def _run(cmd: List[str], log_path: str, cwd: Optional[str] = None):
 
 def run_densification(project, triangulation_id: int, out_dir: str, args,
                       programs: Optional[ExternalPrograms] = None) -> Dict:
-    """Dense reconstruction via external MVS tools."""
+    """Dense reconstruction: TPU-native plane sweep, or external MVS tools."""
     from regard3d_tpu.core import sfm_data
     from regard3d_tpu.export import formats, model_ops
     from regard3d_tpu.ingest import image_io
+
+    if getattr(args, "method", "pmvs") in ("tpu", "planesweep"):
+        from regard3d_tpu.mvs.driver import run_native_densification
+        return run_native_densification(project, triangulation_id, out_dir,
+                                        args)
 
     programs = programs or ExternalPrograms()
     scene = sfm_data.load_npz(project.paths(triangulation_id).scene_npz)
