@@ -448,7 +448,7 @@ def build_parser():
     s = sub.add_parser("surface")
     s.add_argument("project")
     s.add_argument("--method", default="poisson",
-                   choices=["poisson", "fssr"])
+                   choices=["poisson", "fssr", "tpu"])
     s.add_argument("--depth", type=int, default=9)
     s.add_argument("--samples-per-node", type=float, default=1.0)
     s.add_argument("--point-weight", type=float, default=4.0)

@@ -172,7 +172,25 @@ def run_surface(project, densification_id: int, out_dir: str, args,
     log = os.path.join(out_dir, "surface.log")
     method = getattr(args, "method", "poisson")
 
-    if method == "poisson":
+    if method == "tpu":
+        # in-process FFT Poisson + marching tetrahedra + density trim
+        from regard3d_tpu.export.ply import PlyData, read_ply, write_ply
+        from regard3d_tpu.surface import poisson as native_poisson
+
+        cloud = read_ply(dense)
+        if cloud.normals is None:
+            raise RuntimeError(
+                "surface --method tpu needs an oriented dense cloud "
+                "(densify --method tpu produces normals)")
+        verts, faces = native_poisson.reconstruct(
+            cloud.xyz, cloud.normals,
+            depth=getattr(args, "depth", 8),
+            samples_per_node=getattr(args, "samples_per_node", 1.0),
+            point_weight=getattr(args, "point_weight", 4.0),
+            trim_threshold=getattr(args, "trim_threshold", 7.0))
+        surf = os.path.join(out_dir, "surface.ply")
+        write_ply(surf, PlyData(xyz=verts, faces=faces))
+    elif method == "poisson":
         programs.require("PoissonRecon")
         raw = os.path.join(out_dir, "surface_raw.ply")
         _run([programs.paths["PoissonRecon"], "--in", dense, "--out", raw,
