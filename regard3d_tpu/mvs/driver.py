@@ -209,6 +209,89 @@ def compute_depth_maps(scene: Scene, images: Sequence[np.ndarray],
     return out
 
 
+def compute_depth_maps_sharded(scene: Scene, images: Sequence[np.ndarray],
+                               params: PlaneSweepParams, mesh,
+                               axis: str = "views"
+                               ) -> Dict[int, DepthMapResult]:
+    """Mesh-sharded plane sweep: reference views are data-parallel over the
+    ``axis`` mesh dimension (the TPU counterpart of CMVS farming PMVS
+    clusters to processes, src/R3DDensificationProcess.cpp:239-263).
+
+    One vmapped sweep program, view batch sharded with NamedSharding; XLA
+    partitions the batch across devices with no collectives (the sweep is
+    embarrassingly parallel per view). Matches the host-loop
+    :func:`compute_depth_maps` when views have equal source counts (the
+    batched program uses one top_k = the minimum live source count)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    views = _posed_views(scene)
+    if len(views) < 2:
+        return {}
+    sources = select_sources(scene, params.num_sources)
+    gray, _rgb, _hw = _prep_images(images, scene, views, params.level)
+    pid = np.asarray(scene.views.pose_id)
+    Rs = np.asarray(scene.poses.R)
+    Cs = np.asarray(scene.poses.C)
+
+    S = params.num_sources
+    live_views, refs, srcs_b, live_b, homos_b, idep_b = [], [], [], [], [], []
+    for v in views:
+        srcs = sources.get(v, [])
+        rng = depth_range(scene, v)
+        if not srcs or rng is None:
+            continue
+        depths = planesweep.inverse_depth_planes(rng[0], rng[1],
+                                                 params.num_planes)
+        K_ref = _K_for(scene, v, params.level)
+        src_ids = (srcs + [srcs[0]] * S)[:S]
+        homos = planesweep.plane_homographies(
+            K_ref, Rs[pid[v]], Cs[pid[v]],
+            np.stack([_K_for(scene, s, params.level) for s in src_ids]),
+            Rs[pid[src_ids]], Cs[pid[src_ids]], depths)
+        live_views.append(v)
+        refs.append(gray[v])
+        srcs_b.append(np.stack([gray[s] for s in src_ids]))
+        live_b.append([i < len(srcs) for i in range(S)])
+        homos_b.append(homos.astype(np.float32))
+        idep_b.append((1.0 / depths).astype(np.float32))
+    if not live_views:
+        return {}
+
+    n_dev = mesh.shape[axis]
+    B = len(live_views)
+    pad = (-B) % n_dev
+    for _ in range(pad):   # pad with copies of the first problem
+        refs.append(refs[0])
+        srcs_b.append(srcs_b[0])
+        live_b.append(live_b[0])
+        homos_b.append(homos_b[0])
+        idep_b.append(idep_b[0])
+
+    top_k = min(params.agg_top_k,
+                min(int(np.sum(lv)) for lv in live_b[:B]))
+    sweep_b = jax.jit(
+        jax.vmap(lambda r, s, lv, hm, idp: planesweep.sweep(
+            r, s, lv, hm, idp, wsize=params.wsize, top_k=top_k,
+            chunk=params.plane_chunk)),
+        in_shardings=NamedSharding(mesh, P(axis)),
+        out_shardings=NamedSharding(mesh, P(axis)))
+    idepth_b, ncc_b = sweep_b(
+        jnp.asarray(np.stack(refs)), jnp.asarray(np.stack(srcs_b)),
+        jnp.asarray(np.stack(live_b)), jnp.asarray(np.stack(homos_b)),
+        jnp.asarray(np.stack(idep_b)))
+    idepth_b = np.asarray(idepth_b)
+    ncc_b = np.asarray(ncc_b)
+
+    out: Dict[int, DepthMapResult] = {}
+    for i, v in enumerate(live_views):
+        out[v] = DepthMapResult(
+            view_id=v, idepth=idepth_b[i], ncc=ncc_b[i],
+            valid=ncc_b[i] >= params.threshold,
+            K=_K_for(scene, v, params.level), sources=sources[v])
+    return out
+
+
 def fuse_depth_maps(scene: Scene, images: Sequence[np.ndarray],
                     dmaps: Dict[int, DepthMapResult],
                     params: PlaneSweepParams, csize: int = 2,
@@ -269,15 +352,20 @@ def densify_scene(scene: Scene, images: Sequence[np.ndarray],
                   level: int = 1, num_planes: int = 96, wsize: int = 7,
                   threshold: float = 0.7, num_sources: int = 6,
                   csize: int = 2, min_image_num: int = 3,
-                  depth_tol: float = 0.01):
+                  depth_tol: float = 0.01, mesh=None):
     """End-to-end native densification: scene + images -> point cloud.
 
     ``min_image_num`` counts the reference view itself (PMVS semantics),
-    so the cross-view vote needs ``min_image_num - 1`` agreeing sources."""
+    so the cross-view vote needs ``min_image_num - 1`` agreeing sources.
+    Pass a ``jax.sharding.Mesh`` with a ``views`` axis to shard the sweep
+    over devices."""
     params = PlaneSweepParams(level=level, num_planes=num_planes,
                               wsize=wsize, threshold=threshold,
                               num_sources=num_sources)
-    dmaps = compute_depth_maps(scene, images, params)
+    if mesh is not None:
+        dmaps = compute_depth_maps_sharded(scene, images, params, mesh)
+    else:
+        dmaps = compute_depth_maps(scene, images, params)
     xyz, nrm, rgb = fuse_depth_maps(
         scene, images, dmaps, params, csize=csize,
         min_consistent=max(min_image_num - 1, 1), tol=depth_tol)
@@ -299,6 +387,12 @@ def run_native_densification(project, triangulation_id: int, out_dir: str,
     infos = project.objects[ps_obj.parent_id].params["image_info"]
     images = [image_io.load_rgb(i["path"]) for i in infos]
 
+    mesh = None
+    import jax
+    if len(jax.devices()) > 1:       # shard views across the chips we have
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()), ("views",))
+
     xyz, nrm, rgb, dmaps = densify_scene(
         scene, images,
         level=getattr(args, "level", 1),
@@ -307,7 +401,8 @@ def run_native_densification(project, triangulation_id: int, out_dir: str,
         threshold=getattr(args, "threshold", 0.7),
         num_sources=getattr(args, "num_sources", 6),
         csize=getattr(args, "csize", 2),
-        min_image_num=getattr(args, "min_image_num", 3))
+        min_image_num=getattr(args, "min_image_num", 3),
+        mesh=mesh)
 
     np.savez_compressed(
         os.path.join(out_dir, "depth_maps.npz"),

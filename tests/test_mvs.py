@@ -207,6 +207,30 @@ def test_densify_photometric_scale_invariance(rng):
     assert abs(len(xyz_f) - len(xyz_u8)) < 0.1 * max(len(xyz_u8), 1)
 
 
+def test_sharded_depth_maps_match_host_loop(rng):
+    """View-sharded sweep over the 8-device CPU mesh must reproduce the
+    host-loop depth maps (same top_k regime: every view has 3 sources)."""
+    import jax
+    from jax.sharding import Mesh
+
+    sc = render_scene(rng, n_cams=4, hw=128, f=165.0)
+    scene = _scene_from_render(sc, n_lm=120)
+    images = [(np.clip(im, 0, 1) * 255).astype(np.uint8)
+              for im in sc["images"]]
+    from regard3d_tpu.mvs.planesweep import PlaneSweepParams
+    params = PlaneSweepParams(level=0, num_planes=32, wsize=7,
+                              threshold=0.6, num_sources=3)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("views",))
+    d_host = driver.compute_depth_maps(scene, images, params)
+    d_mesh = driver.compute_depth_maps_sharded(scene, images, params, mesh)
+    assert set(d_host) == set(d_mesh)
+    for v in d_host:
+        np.testing.assert_allclose(d_mesh[v].idepth, d_host[v].idepth,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(d_mesh[v].ncc, d_host[v].ncc,
+                                   rtol=0, atol=1e-4)
+
+
 def test_fusion_rejects_inconsistent_depth(rng):
     """A depth map that disagrees with every source must be filtered out."""
     hw = 64
