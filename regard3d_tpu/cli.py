@@ -456,6 +456,14 @@ def build_parser():
     s.add_argument("--colorize", default="vertices",
                    choices=["vertices", "textures"])
     s.add_argument("--color-neighbors", type=int, default=3)
+    # texturing (reference: texrecon flags, src/R3DSurfaceGenProcess.cpp:172)
+    s.add_argument("--texture-method", default="tpu",
+                   choices=["tpu", "texrecon"])
+    s.add_argument("--texel-res", type=int, default=8)
+    s.add_argument("--outlier-removal", default="gauss_damping",
+                   choices=["none", "gauss_clamping", "gauss_damping"])
+    s.add_argument("--seam-leveling", default="global",
+                   choices=["none", "global"])
     s.set_defaults(fn=cmd_surface)
 
     s = sub.add_parser("info")

@@ -225,13 +225,19 @@ def run_surface(project, densification_id: int, out_dir: str, args,
         model_ops.colorize_mesh_from_cloud(
             surf, dense, final, k=getattr(args, "color_neighbors", 3))
     elif colorize == "textures":
-        programs.require("texrecon")
-        # texrecon needs the MVE scene from the densification step
-        mve_scene = os.path.join(
-            project._step_dir(dobj), "MVE")
         tex_out = os.path.join(out_dir, "textured")
-        _run([programs.paths["texrecon"], mve_scene + "::undistorted",
-              surf, tex_out], log)
-        final = tex_out + ".obj"
+        if (getattr(args, "texture_method", "tpu") == "texrecon"
+                and programs.has("texrecon")):
+            # texrecon needs the MVE scene from the densification step
+            mve_scene = os.path.join(
+                project._step_dir(dobj), "MVE")
+            _run([programs.paths["texrecon"], mve_scene + "::undistorted",
+                  surf, tex_out], log)
+            final = tex_out + ".obj"
+        else:
+            # in-process TPU-native texturing (no external binaries)
+            from regard3d_tpu.surface.texture import texture_project_mesh
+            final = texture_project_mesh(project, densification_id, surf,
+                                         tex_out, args)
 
     return {"method": method, "surface": final}
