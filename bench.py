@@ -1,30 +1,59 @@
-"""Headline benchmark: matched pairs/s/chip on the fused MXU matching kernel.
+"""Headline benchmark: BOTH BASELINE.json metrics in one JSON line.
 
-BASELINE.json metric: "matched pairs/s/chip + BA iters/s at 1/N hosts".
-The per-chip matching throughput is the round-1 headline: one "pair" is a
-full putative-matching problem — 4096 x 4096 LIOP descriptors (padded 256-D),
-fused L2 distance + top-2 + ratio test.  The CPU reference (FLANN/KGraph ANN
-over the same 144-D descriptors in the reference app) lands around ~10
-pairs/s on a desktop CPU; `vs_baseline` is measured against that.
+* ``matched pairs/s/chip`` — one "pair" is a full putative-matching problem:
+  4096 x 4096 LIOP descriptors (padded 256-D), fused L2 distance + top-2 +
+  ratio test on the MXU (the driver-parsed headline value).
+* ``BA iters/s at 1/N hosts`` — the damped LM trial step (linearize ->
+  implicit-Schur CG -> update) timed single-device on the live backend and
+  on an 8-virtual-device ``shard_map``+psum mesh (subprocess, CPU backend),
+  reported in ``extra``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` divides by a *measured* CPU brute-force matcher on this
+host (NumPy/BLAS sgemm + top-2 over the same problem) instead of an assumed
+constant — the reference app's FLANN/KGraph ANN path is the same O(M*N*D)
+work with approximations on top.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-CPU_REFERENCE_PAIRS_PER_S = 10.0   # FLANN-class ANN matcher, desktop CPU
+
+def measure_cpu_reference(M=4096, N=4096, D=256, reps=3):
+    """Measured host-CPU brute-force matcher throughput (pairs/s): BLAS
+    sgemm distance matrix + per-row top-2 + ratio test in NumPy."""
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(M, D)).astype(np.float32)
+    b = rng.normal(size=(N, D)).astype(np.float32)
+    bb = (b * b).sum(1)
+
+    def one():
+        d = -2.0 * (a @ b.T)
+        d += bb[None, :]
+        idx2 = np.argpartition(d, 1, axis=1)[:, :2]
+        v = np.take_along_axis(d, idx2, axis=1)
+        d1 = v.min(1)
+        d2 = v.max(1)
+        return (d1 < 0.64 * d2).sum()
+
+    one()                                   # warm BLAS threads
+    t0 = time.time()
+    for _ in range(reps):
+        one()
+    return reps / (time.time() - t0)
 
 
-def main():
+def measure_tpu_matching(M=4096, N=4096, D=256):
     import jax
     import jax.numpy as jnp
     from regard3d_tpu.kernels import match
 
-    M = N = 4096
-    D = 256
     rng = np.random.default_rng(0)
     # distinct input variants so no dispatch/caching layer can elide work
     VARIANTS = 8
@@ -52,14 +81,48 @@ def main():
     for k in range(iters):
         out = run(k)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
-    pairs_per_s = 1.0 / dt
+    return iters / (time.time() - t0)
+
+
+def run_ba_bench(extra_args, timeout=1200):
+    """bench_ba.py in a subprocess (its backend/mesh config must be chosen
+    before JAX initializes). Returns the parsed JSON dict or None."""
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_ba.py")] + extra_args
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def main():
+    pairs_per_s = measure_tpu_matching()
+    cpu_ref = measure_cpu_reference()
+
+    ba1 = run_ba_bench(["--cams", "300", "--pts", "50000",
+                        "--obs-per-pt", "12"])
+    ba8 = run_ba_bench(["--mesh", "8", "--cams", "100", "--pts", "10000",
+                        "--obs-per-pt", "8"])
 
     print(json.dumps({
         "metric": "matched_pairs_per_s_per_chip",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s (4096x4096x256 fused match)",
-        "vs_baseline": round(pairs_per_s / CPU_REFERENCE_PAIRS_PER_S, 2),
+        "vs_baseline": round(pairs_per_s / cpu_ref, 2),
+        "extra": {
+            "cpu_reference_pairs_per_s_measured": round(cpu_ref, 2),
+            "ba_lm_iters_per_s_1dev": ba1 and ba1.get("value"),
+            "ba_1dev_detail": ba1 and ba1.get("unit"),
+            "ba_1dev_backend": ba1 and ba1.get("backend"),
+            "ba_lm_iters_per_s_mesh8": ba8 and ba8.get("value"),
+            "ba_mesh8_detail": ba8 and ba8.get("unit"),
+        },
     }))
 
 

@@ -1,0 +1,149 @@
+"""Accuracy gate — the BASELINE "ATE(m) vs OpenMVG on Strecha" stand-in.
+
+The sandbox has no network and the reference ships no datasets or built
+binaries (BASELINE.md), so the gate runs the FULL pipeline (AKAZE-equivalent
+detection -> LIOP -> MXU matching -> ACRANSAC F/E -> incremental SfM -> LM
+BA) on ray-cast scenes with EXACT ground-truth poses
+(regard3d_tpu/ingest/synth.py: SceauxCastle-11 and fountain-P11 stand-ins)
+and gates on:
+
+* all cameras calibrated (the reference's calibrated-camera count,
+  src/threads/R3DTriangulationThread.cpp:638-650);
+* ATE after Sim3 alignment below an absolute bound per dataset
+  (BASELINE.md: "ATE <= OpenMVG bound");
+* median reprojection residual < 1 px (the reference's residual stats,
+  src/threads/R3DTriangulationThread.cpp:652-669);
+* no regression vs the committed golden (ACCURACY.json): ATE may not
+  degrade by more than 50% over golden.
+
+Run:    python bench_accuracy.py [--update-golden] [--datasets castle,...]
+Exits non-zero when any gate fails. Writes ACCURACY.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+# camera-count + ATE + residual gates per dataset (scene scale ~ 12 units)
+GATES = {
+    "castle": {"ate": 0.08, "median_px": 1.0, "min_cameras": 11},
+    "fountain": {"ate": 0.08, "median_px": 1.0, "min_cameras": 11},
+}
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "ACCURACY.json")
+
+
+def run_dataset(name: str, seed: int = 0) -> dict:
+    import jax.numpy as jnp
+    from regard3d_tpu.core import metrics
+    from regard3d_tpu.core.sfm_data import load_npz
+    from regard3d_tpu.core.types import PINHOLE
+    from regard3d_tpu.ingest import synth
+    from regard3d_tpu.pipeline import compute_matches as cm
+    from regard3d_tpu.pipeline import triangulation_step as ts
+
+    t0 = time.time()
+    ds = synth.make_dataset(name, n_cams=11, hw=320, seed=seed)
+    V = len(ds["images"])
+    # realistic focal prior: 3% off the true value, refined by BA
+    f_prior = 1.03 * ds["f"]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "matches")
+        mstats = cm.run_compute_matches(
+            ds["images"], out, threshold=0.0001,
+            cfg=cm.MatchConfig(ransac_iters=1024),
+            focals=np.full(V, f_prior), max_keypoints=2048)
+
+        intr = np.zeros((1, 9), np.float32)
+        intr[0, :3] = [f_prior, ds["hw"] / 2, ds["hw"] / 2]
+        tri = os.path.join(tmp, "tri")
+        tstats = ts.run_triangulation(
+            out, tri, ds["images"],
+            intr_id=np.zeros(V, np.int32), intr=intr,
+            models=np.asarray([PINHOLE], np.int32),
+            params=ts.TriangulationParams(engine="incremental2",
+                                          refine_intrinsics=True))
+        scene = load_npz(os.path.join(tri, "scene.npz"))
+
+    pm = np.asarray(scene.poses.mask)
+    C_est = np.asarray(scene.poses.C)[pm]
+    ate = metrics.ate_rmse(C_est, ds["Cs"][np.nonzero(pm)[0]])
+    return {
+        "dataset": name,
+        "num_cameras": int(tstats["num_cameras"]),
+        "num_tracks": int(tstats["num_tracks"]),
+        "ate": round(float(ate), 5),
+        "residual_px": {
+            "min": round(float(tstats["residual_min"]), 4),
+            "max": round(float(tstats["residual_max"]), 4),
+            "mean": round(float(tstats["residual_mean"]), 4),
+            "median": round(float(tstats["residual_median"]), 4),
+        },
+        "rms_px": round(float(tstats["rms_px"]), 4),
+        "pairs_f": int(mstats["pairs_f"]),
+        "pairs_e": int(mstats["pairs_e"]),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", default="castle,fountain")
+    ap.add_argument("--update-golden", action="store_true")
+    ap.add_argument("--out", default=GOLDEN_PATH if "--update-golden"
+                    in sys.argv else None)
+    args = ap.parse_args()
+
+    golden = None
+    if os.path.exists(GOLDEN_PATH) and not args.update_golden:
+        with open(GOLDEN_PATH) as f:
+            golden = {r["dataset"]: r for r in json.load(f)["results"]}
+
+    results, failures = [], []
+    for name in args.datasets.split(","):
+        r = run_dataset(name)
+        results.append(r)
+        g = GATES[name]
+        med = r["residual_px"].get("median", 0.0)
+        if r["num_cameras"] < g["min_cameras"]:
+            failures.append(f"{name}: calibrated {r['num_cameras']} "
+                            f"< {g['min_cameras']} cameras")
+        if r["ate"] > g["ate"]:
+            failures.append(f"{name}: ATE {r['ate']} > bound {g['ate']}")
+        if med > g["median_px"]:
+            failures.append(f"{name}: median residual {med} px > "
+                            f"{g['median_px']} px")
+        if golden and name in golden:
+            if r["ate"] > 1.5 * golden[name]["ate"] + 1e-4:
+                failures.append(
+                    f"{name}: ATE {r['ate']} regressed vs golden "
+                    f"{golden[name]['ate']} (>50%)")
+            if r["num_cameras"] < golden[name]["num_cameras"]:
+                failures.append(
+                    f"{name}: cameras {r['num_cameras']} < golden "
+                    f"{golden[name]['num_cameras']}")
+        print(json.dumps(r))
+
+    payload = {"results": results, "gates": GATES, "ok": not failures}
+    out_path = args.out or (GOLDEN_PATH if args.update_golden else
+                            os.path.join(os.path.dirname(GOLDEN_PATH),
+                                         "ACCURACY.json"))
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+    if failures:
+        print("ACCURACY GATE FAILED:", file=sys.stderr)
+        for msg in failures:
+            print("  " + msg, file=sys.stderr)
+        sys.exit(1)
+    print(f"accuracy gate OK -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

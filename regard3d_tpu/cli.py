@@ -108,6 +108,7 @@ def cmd_matches(args):
         stats = cm.run_compute_matches(
             images, out_dir, threshold=thr,
             cfg=cm.MatchConfig(ratio=args.ratio, matcher=args.matcher,
+                               mutual=args.mutual,
                                ransac_iters=args.ransac_iters),
             focals=focals, max_keypoints=args.max_keypoints,
             detector=args.detector,
@@ -208,6 +209,8 @@ def cmd_export(args):
         formats.export_pmvs(out, scene, images)
     elif args.format == "nvm":
         formats.export_nvm(os.path.join(out, "scene.nvm"), scene, names)
+    elif args.format == "mvstexturing":
+        formats.export_mvs_texturing(out, scene, names)
     elif args.format == "meshlab":
         formats.export_meshlab(out, scene, [i["path"] for i in infos])
     elif args.format == "mve":
@@ -389,8 +392,13 @@ def build_parser():
                         "tbmr (GUI menu + experimental code paths, "
                         "src/Regard3DFeatures.cpp:574-683)")
     s.add_argument("--ratio", type=float, default=0.8,
-                   choices=None)
-    s.add_argument("--matcher", default="brute-force")
+                   help="NN ratio test (GUI presets 0.6/0.7/0.8/0.9)")
+    s.add_argument("--matcher", default="brute-force",
+                   help="matcher menu preset (FLANN/KGraph/BF/MRPT/HNSW "
+                        "names accepted); fast presets select the bf16 "
+                        "MXU path, precise presets f32")
+    s.add_argument("--mutual", action="store_true",
+                   help="cross-check: keep only mutual nearest neighbours")
     s.add_argument("--max-keypoints", type=int, default=4096)
     s.add_argument("--ransac-iters", type=int, default=1024)
     s.add_argument("--profile", default=None,
@@ -423,7 +431,8 @@ def build_parser():
     s.add_argument("project")
     s.add_argument("--format", required=True,
                    choices=["bundler", "pmvs", "nvm", "meshlab", "mve",
-                            "openmvs", "sfmoutput", "externalmvs"])
+                            "openmvs", "sfmoutput", "externalmvs",
+                            "mvstexturing"])
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_export)
 
@@ -443,6 +452,17 @@ def build_parser():
     s.add_argument("--use-cmvs", action="store_true")
     s.add_argument("--max-cluster-size", type=int, default=100)
     s.add_argument("--scale", type=int, default=2, help="MVE scale")
+    # SMVS menu (src/R3DProject.h:201-213, R3DDensificationProcess.cpp:171)
+    s.add_argument("--input-scale", type=int, default=2,
+                   help="SMVS input scale")
+    s.add_argument("--output-scale", type=int, default=2,
+                   help="SMVS output scale")
+    s.add_argument("--shading", action="store_true",
+                   help="SMVS shading-based optimization (-S)")
+    s.add_argument("--no-sgm", dest="sgm", action="store_false",
+                   help="disable SMVS semi-global matching")
+    s.add_argument("--alpha", type=float, default=1.0,
+                   help="SMVS surface smoothing factor (--alpha)")
     s.set_defaults(fn=cmd_densify)
 
     s = sub.add_parser("surface")
@@ -453,6 +473,15 @@ def build_parser():
     s.add_argument("--samples-per-node", type=float, default=1.0)
     s.add_argument("--point-weight", type=float, default=4.0)
     s.add_argument("--trim-threshold", type=float, default=7.0)
+    # FSSR menu (src/R3DProject.h:155-170, R3DSurfaceGenProcess.cpp:152-161)
+    s.add_argument("--scale-factor", type=float, default=1.0,
+                   help="FSSR scale factor multiplier")
+    s.add_argument("--refine-octree-levels", type=int, default=0,
+                   help="FSSR octree refinement levels")
+    s.add_argument("--conf-threshold", type=float, default=1.0,
+                   help="FSSR meshclean confidence threshold")
+    s.add_argument("--min-component-size", type=int, default=1000,
+                   help="FSSR meshclean minimum component size")
     s.add_argument("--colorize", default="vertices",
                    choices=["vertices", "textures"])
     s.add_argument("--color-neighbors", type=int, default=3)
@@ -464,6 +493,12 @@ def build_parser():
                    choices=["none", "gauss_clamping", "gauss_damping"])
     s.add_argument("--seam-leveling", default="global",
                    choices=["none", "global"])
+    s.add_argument("--no-visibility-test", dest="visibility_test",
+                   action="store_false",
+                   help="skip the geometric visibility test (texrecon)")
+    s.add_argument("--no-local-seam-leveling", dest="local_seam_leveling",
+                   action="store_false",
+                   help="skip local seam leveling (texrecon)")
     s.set_defaults(fn=cmd_surface)
 
     s = sub.add_parser("info")

@@ -84,6 +84,29 @@ def export_bundler(out_dir: str, scene: Scene, image_names: Sequence[str]):
         for v in ids:
             f.write(f"{image_names[v]}\n")
 
+    # per-landmark view lists (reference writes `<n> <cam> <key> <px> <py>`
+    # per observation, projecting the 3D point — OpenMVGHelper.cpp:882-903)
+    cam_pos = {v: k for k, v in enumerate(ids)}
+    lm_ids = np.nonzero(lm_mask)[0]
+    lm_pos = {int(l): k for k, l in enumerate(lm_ids)}
+    obs_by_lm: dict = {k: [] for k in range(len(lm_ids))}
+    om = np.asarray(scene.observations.mask)
+    o_lm = np.asarray(scene.observations.landmark_id)
+    o_view = np.asarray(scene.observations.view_id)
+    o_feat = np.asarray(scene.observations.feature_id)
+    for o in np.nonzero(om)[0]:
+        li = lm_pos.get(int(o_lm[o]))
+        ci = cam_pos.get(int(o_view[o]))
+        if li is None or ci is None:
+            continue
+        v = ids[ci]
+        R, t = _Rt_of(scene, v)
+        K = _K_of(scene, v)
+        xc = R @ X[li] + t
+        px = K[0, 0] * xc[0] / xc[2] + K[0, 2]
+        py = K[1, 1] * xc[1] / xc[2] + K[1, 2]
+        obs_by_lm[li].append((ci, int(o_feat[o]), px, py))
+
     with open(os.path.join(out_dir, "bundle.rd.out"), "w") as f:
         f.write("# Bundle file v0.3\n")
         f.write(f"{len(ids)} {len(X)}\n")
@@ -96,10 +119,14 @@ def export_bundler(out_dir: str, scene: Scene, image_names: Sequence[str]):
             for row in Rb:
                 f.write(f"{row[0]:.8g} {row[1]:.8g} {row[2]:.8g}\n")
             f.write(f"{tb[0]:.8g} {tb[1]:.8g} {tb[2]:.8g}\n")
-        for p, c in zip(X, col):
+        for k, (p, c) in enumerate(zip(X, col)):
             f.write(f"{p[0]:.8g} {p[1]:.8g} {p[2]:.8g}\n")
             f.write(f"{c[0]} {c[1]} {c[2]}\n")
-            f.write("0\n")   # view lists omitted (PMVS does not need them)
+            lst = obs_by_lm[k]
+            f.write(f"{len(lst)}")
+            for ci, fi, px, py in lst:
+                f.write(f" {ci} {fi} {px:.4g} {py:.4g}")
+            f.write("\n")
 
 
 def export_pmvs(out_dir: str, scene: Scene, images: Sequence[np.ndarray],
@@ -135,6 +162,39 @@ def export_pmvs(out_dir: str, scene: Scene, images: Sequence[np.ndarray],
 # ---------------------------------------------------------------------------
 # NVM (VisualSFM)
 # ---------------------------------------------------------------------------
+
+def export_mvs_texturing(out_dir: str, scene: Scene,
+                         image_names: Sequence[str]) -> int:
+    """MVSTexturing ``.cam`` files, one per posed pinhole view
+    (``OpenMVGHelper::exportToMVSTexturing``,
+    src/utils/OpenMVGHelper.cpp:3152-3218):
+
+    line 1: ``tx ty tz R00 .. R22`` (world->cam, t = -R C);
+    line 2: ``f/max(w,h) 0 0 1 ppx/w ppy/h``.
+
+    Returns the number of cam files written."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_written = 0
+    for v in _posed_view_ids(scene):
+        # reference skips non-pinhole-family intrinsics (:3178); all five
+        # supported models here are pinhole + distortion, matching
+        # openMVG::cameras::isPinhole
+        K = _K_of(scene, v)
+        R, t = _Rt_of(scene, v)
+        w = int(np.asarray(scene.views.width)[v])
+        h = int(np.asarray(scene.views.height)[v])
+        larger = max(w, h)
+        base = os.path.splitext(os.path.basename(image_names[v]))[0]
+        with open(os.path.join(out_dir, base + ".cam"), "w") as f:
+            f.write(f"{t[0]:.9g} {t[1]:.9g} {t[2]:.9g} "
+                    f"{R[0,0]:.9g} {R[0,1]:.9g} {R[0,2]:.9g} "
+                    f"{R[1,0]:.9g} {R[1,1]:.9g} {R[1,2]:.9g} "
+                    f"{R[2,0]:.9g} {R[2,1]:.9g} {R[2,2]:.9g}\n")
+            f.write(f"{K[0,0]/larger:.9g} 0 0 1 "
+                    f"{K[0,2]/w:.9g} {K[1,2]/h:.9g}")
+        n_written += 1
+    return n_written
+
 
 def export_nvm(path: str, scene: Scene, image_names: Sequence[str]):
     """NVM_V3 (src/utils/OpenMVGHelper.cpp:1287 parity)."""

@@ -231,5 +231,10 @@ def match_pair_block(desc, mask, pairs, ratio: float = 0.8,
         d1, i1, d2 = f(da, db, mb)
         ok = ma & (d1 < (ratio * ratio) * d2) & (d1 < 1e30)
         return i1, d1, ok
+    if bf16:
+        # apply the same input quantization as the Pallas bf16 path so
+        # CPU tests measure representative precision behaviour
+        da = da.astype(jnp.bfloat16)
+        db = db.astype(jnp.bfloat16)
     f = jax.vmap(lambda a, am, b, bm: match_pair(a, am, b, bm, ratio, False))
     return f(da, ma, db, mb)

@@ -148,52 +148,103 @@ def _logalpha0_point(w: float, h: float) -> float:
     return math.log10(math.pi / (w * h))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "width", "height",
-                                             "max_err_px"))
-def acransac_f(key, x1, x2, mask, width: float, height: float,
-               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
-    """Fundamental-matrix filter (parity: ACRANSAC F, 2048 iters, 4 px,
-    src/R3DComputeMatches.cpp:2099-2110)."""
+def _logalpha0_e(w, h, focal_px):
+    """alpha0 for the E filter: residuals are point-to-line distances in
+    *normalized* coords, so the pixel-domain alpha0 (2·diag/area) picks up a
+    +log10(f) unit change (dist_px = f·dist_norm). This matches OpenMVG's
+    essential ACRANSAC, which scores epipolar distances in pixels with the
+    image-geometry alpha0 (vs. the previous ad-hoc log10(2.0))."""
+    import numpy as np
+    area = w * h
+    diag = np.sqrt(w * w + h * h)
+    return jnp.log10(2.0 * diag / area * focal_px)
+
+
+# --- single-pair cores: logalpha0 / max_err_sq are *traced* scalars so one
+# compiled program covers every image size and focal (no per-size recompile)
+
+def _f_one(key, x1, x2, mask, logalpha0, max_err_sq, iters: int):
     return ransac(
         key, {"x1": x1, "x2": x2}, mask,
         fit_fn=lambda d, weights=None: geometry.fit_fundamental_8pt(
             d["x1"], d["x2"], weights),
         resid_fn=lambda M, d: geometry.epipolar_dist_f(
             M, d["x1"][None], d["x2"][None]),
-        sample_size=8, iters=iters, max_err_sq=max_err_px ** 2,
-        logalpha0=_logalpha0_line(width, height), err_dim=1.0)
+        sample_size=8, iters=iters, max_err_sq=max_err_sq,
+        logalpha0=logalpha0, err_dim=1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "focal_px",
-                                             "max_err_px"))
-def acransac_e(key, x1n, x2n, mask, focal_px: float = 1.0,
-               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
-    """Essential-matrix filter on normalized camera coords; the pixel
-    threshold is divided by the focal (parity with OpenMVG's E filter)."""
-    max_err = (max_err_px / focal_px) ** 2
+def _e_one(key, x1n, x2n, mask, logalpha0, max_err_sq, iters: int):
     return ransac(
         key, {"x1": x1n, "x2": x2n}, mask,
         fit_fn=lambda d, weights=None: geometry.fit_essential_8pt(
             d["x1"], d["x2"], weights),
         resid_fn=lambda M, d: geometry.epipolar_dist_f(
             M, d["x1"][None], d["x2"][None]),
-        sample_size=8, iters=iters, max_err_sq=max_err,
-        logalpha0=math.log10(2.0), err_dim=1.0)
+        sample_size=8, iters=iters, max_err_sq=max_err_sq,
+        logalpha0=logalpha0, err_dim=1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "width", "height",
-                                             "max_err_px"))
-def acransac_h(key, x1, x2, mask, width: float, height: float,
-               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
-    """Homography filter (symmetric transfer error, point-to-point alpha0)."""
+def _h_one(key, x1, x2, mask, logalpha0, max_err_sq, iters: int):
     return ransac(
         key, {"x1": x1, "x2": x2}, mask,
         fit_fn=lambda d, weights=None: geometry.fit_homography_4pt(
             d["x1"], d["x2"], weights),
         resid_fn=lambda M, d: geometry.sym_transfer_h(
             M, d["x1"][None], d["x2"][None]),
-        sample_size=4, iters=iters, max_err_sq=max_err_px ** 2,
-        logalpha0=_logalpha0_point(width, height), err_dim=2.0)
+        sample_size=4, iters=iters, max_err_sq=max_err_sq,
+        logalpha0=logalpha0, err_dim=2.0)
+
+
+_f_one_jit = functools.partial(jax.jit, static_argnames=("iters",))(_f_one)
+_e_one_jit = functools.partial(jax.jit, static_argnames=("iters",))(_e_one)
+_h_one_jit = functools.partial(jax.jit, static_argnames=("iters",))(_h_one)
+
+
+def acransac_f(key, x1, x2, mask, width: float, height: float,
+               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
+    """Fundamental-matrix filter (parity: ACRANSAC F, 2048 iters, 4 px,
+    src/R3DComputeMatches.cpp:2099-2110)."""
+    return _f_one_jit(key, x1, x2, mask,
+                      jnp.float32(_logalpha0_line(width, height)),
+                      jnp.float32(max_err_px ** 2), iters=iters)
+
+
+def acransac_e(key, x1n, x2n, mask, focal_px: float = 1.0,
+               iters: int = 1024, max_err_px: float = 4.0,
+               width: float = 0.0, height: float = 0.0) -> RansacResult:
+    """Essential-matrix filter on normalized camera coords; the pixel
+    threshold is divided by the focal (parity with OpenMVG's E filter).
+    When width/height are given, alpha0 is derived from the image geometry
+    (OpenMVG parity); otherwise the legacy log10(2.0) constant is used."""
+    la = (_logalpha0_e(width, height, focal_px) if width and height
+          else jnp.float32(math.log10(2.0)))
+    return _e_one_jit(key, x1n, x2n, mask, la,
+                      jnp.float32((max_err_px / focal_px) ** 2), iters=iters)
+
+
+def acransac_h(key, x1, x2, mask, width: float, height: float,
+               iters: int = 1024, max_err_px: float = 4.0) -> RansacResult:
+    """Homography filter (symmetric transfer error, point-to-point alpha0)."""
+    return _h_one_jit(key, x1, x2, mask,
+                      jnp.float32(_logalpha0_point(width, height)),
+                      jnp.float32(max_err_px ** 2), iters=iters)
+
+
+# --- batched variants: one dispatch robust-filters a whole block of pairs
+# (P2 pair-block parallelism; the vmapped axis shards over a device mesh)
+
+def _make_batch(one_fn):
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def batch(keys, x1, x2, mask, logalpha0, max_err_sq, iters=1024):
+        f = lambda k, a, b, m, la, me: one_fn(k, a, b, m, la, me, iters)
+        return jax.vmap(f)(keys, x1, x2, mask, logalpha0, max_err_sq)
+    return batch
+
+
+acransac_f_batch = _make_batch(_f_one)
+acransac_e_batch = _make_batch(_e_one)
+acransac_h_batch = _make_batch(_h_one)
 
 
 class ResectionResult(NamedTuple):

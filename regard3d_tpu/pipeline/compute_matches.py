@@ -44,6 +44,19 @@ MATCHER_PRESETS = ("flann", "kgraph-fast", "kgraph-medium", "kgraph-precise",
                    "hnsw-precise")
 
 
+def matcher_knobs(matcher: str) -> Dict:
+    """Map the reference's ANN menu onto the exact matcher's real knobs.
+
+    The approximate presets (FLANN/KGraph/MRPT/HNSW fast & medium,
+    src/R3DComputeMatches.cpp:2035-2062) trade accuracy for speed; here the
+    same trade is bfloat16 MXU inputs (~2x matmul rate, f32 accumulation —
+    LIOP descriptors are unit-norm so the top-2 ordering rarely flips).
+    ``brute-force`` and the ``*-precise`` presets stay f32."""
+    m = (matcher or "brute-force").lower()
+    precise = m == "brute-force" or m.endswith("-precise")
+    return {"bf16": not precise}
+
+
 @dataclasses.dataclass(frozen=True)
 class MatchConfig:
     ratio: float = 0.8                # presets 0.6/0.7/0.8/0.9
@@ -107,34 +120,65 @@ def adjacency_svg(path: str, n: int,
         f.write(svg)
 
 
+def _mesh_size(mesh) -> int:
+    return 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+
+
+def _match_block(desc, mask, parr, cfg: MatchConfig, use_pallas: bool,
+                 tile_n: int, bf16: bool, mesh, axis: str):
+    """One pair-block dispatch, optionally SPMD over the ``pairs`` axis.
+
+    With a mesh, the pair block is sharded with ``shard_map`` (descriptors
+    replicated, pairs split): each chip matches its slice of the pair space
+    with zero collectives — the TPU counterpart of the reference's OpenMP
+    loop over pairs (src/R3DComputeMatches.cpp:877-899)."""
+    def run(d, mk, pr):
+        idx, d1, ok = match_mod.match_pair_block(
+            d, mk, pr, cfg.ratio, use_pallas, 256, tile_n, bf16)
+        if cfg.mutual:
+            rev = jnp.stack([pr[:, 1], pr[:, 0]], -1)
+            idx_b, _, ok_b = match_mod.match_pair_block(
+                d, mk, rev, cfg.ratio, use_pallas, 256, tile_n, bf16)
+            ok = jax.vmap(match_mod.mutual_filter)(idx, ok, idx_b, ok_b)
+        return idx, ok
+
+    if mesh is None:
+        return run(desc, mask, parr)
+    from jax.sharding import PartitionSpec as P
+    sm = jax.shard_map(run, mesh=mesh,
+                       in_specs=(P(), P(), P(axis, None)),
+                       out_specs=(P(axis, None), P(axis, None)))
+    return jax.jit(sm)(desc, mask, parr)
+
+
 def match_all_pairs(kps, descs, cfg: MatchConfig,
                     pairs: Optional[List[Tuple[int, int]]] = None,
-                    progress=None) -> Dict[Tuple[int, int], np.ndarray]:
+                    progress=None, mesh=None,
+                    axis: str = "pairs") -> Dict[Tuple[int, int], np.ndarray]:
     """Putative matching for every pair: fused distance + top-2 + ratio.
-    kps/descs: padded (B, N, ...) arrays from ``features.load_all_padded``."""
+    kps/descs: padded (B, N, ...) arrays from ``features.load_all_padded``.
+    With ``mesh``, pair blocks shard across devices (P2 parallelism)."""
     B, N, D = descs.data.shape
     if pairs is None:
         pairs = exhaustive_pairs(B)
 
     use_pallas = (jax.default_backend() == "tpu"
                   and N % 256 == 0 and D % 128 == 0)
+    knobs = matcher_knobs(cfg.matcher)
+    bf16 = knobs["bf16"]
+    tile_n = 512 if N % 512 == 0 else 256
 
     out = {}
     # fixed-size pair blocks: one device dispatch per block (P2 pair-block
     # parallelism; kills per-pair dispatch overhead at many-image scale)
-    BLOCK = 16
+    BLOCK = 16 * _mesh_size(mesh)
     total = len(pairs)
     padded = pairs + [pairs[-1]] * ((-len(pairs)) % BLOCK)
     for start in range(0, len(padded), BLOCK):
         chunk = padded[start:start + BLOCK]
         parr = jnp.asarray(np.asarray(chunk, np.int32))
-        idx, d1, ok = match_mod.match_pair_block(
-            descs.data, descs.mask, parr, cfg.ratio, use_pallas)
-        if cfg.mutual:
-            rev = jnp.stack([parr[:, 1], parr[:, 0]], -1)
-            idx_b, _, ok_b = match_mod.match_pair_block(
-                descs.data, descs.mask, rev, cfg.ratio, use_pallas)
-            ok = jax.vmap(match_mod.mutual_filter)(idx, ok, idx_b, ok_b)
+        idx, ok = _match_block(descs.data, descs.mask, parr, cfg,
+                               use_pallas, tile_n, bf16, mesh, axis)
         idx_np = np.asarray(idx)
         ok_np = np.asarray(ok)
         for bi, (i, j) in enumerate(chunk):
@@ -146,6 +190,15 @@ def match_all_pairs(kps, descs, cfg: MatchConfig,
             if progress:
                 progress(min(start + bi + 1, total), total)
     return out
+
+
+def e_overlap_keep(num_geometric: int, num_putative: int,
+                   cfg: MatchConfig) -> bool:
+    """E-matrix overlap prune (src/R3DComputeMatches.cpp:2177-2186): the
+    reference drops a pair when ``count < 50 || count/putative < 0.3`` —
+    keeping requires BOTH an absolute and a relative survival bound."""
+    return (num_geometric >= cfg.e_min_matches
+            and num_geometric >= cfg.e_min_survival * num_putative)
 
 
 @dataclasses.dataclass
@@ -160,66 +213,116 @@ def geometric_filter(kps, putative: Dict[Tuple[int, int], np.ndarray],
                      image_sizes: np.ndarray,
                      focals: Optional[np.ndarray],
                      cfg: MatchConfig, seed: int = 0,
-                     progress=None) -> FilterResult:
-    """ACRANSAC F -> E (+overlap prune) -> H per pair
-    (src/R3DComputeMatches.cpp:2086-2233)."""
+                     progress=None, mesh=None,
+                     axis: str = "pairs") -> FilterResult:
+    """ACRANSAC F -> E (+overlap prune) -> H over pair blocks
+    (src/R3DComputeMatches.cpp:2086-2233).
+
+    Pairs are bucketed by padded match capacity and each bucket is filtered
+    in vmapped blocks — F/E/H for a whole block is ONE device dispatch
+    (vs the reference's per-pair OpenMP loop). With ``mesh``, block inputs
+    are placed with a ``pairs``-axis NamedSharding so XLA splits the batch
+    across chips (the filters are embarrassingly parallel per pair)."""
     key = jax.random.PRNGKey(seed)
     xy = np.asarray(kps.xy)
     out_f, out_e, out_h = {}, {}, {}
-    n_done = 0
-    for (i, j), m in sorted(putative.items()):
-        n_done += 1
-        if progress:
-            progress(n_done, len(putative))
-        if len(m) < 16:
-            continue
-        x1 = xy[i][m[:, 0]]
-        x2 = xy[j][m[:, 1]]
-        n = len(m)
-        cap = max(64, 1 << int(np.ceil(np.log2(n))))
-        pad = cap - n
-        x1p = jnp.asarray(np.pad(x1, ((0, pad), (0, 0)), ).astype(np.float32))
-        x2p = jnp.asarray(np.pad(x2, ((0, pad), (0, 0)), ).astype(np.float32))
-        maskp = jnp.asarray(np.arange(cap) < n)
-        w = float(max(image_sizes[i][0], image_sizes[j][0]))
-        h = float(max(image_sizes[i][1], image_sizes[j][1]))
 
-        key, kf, ke, kh = jax.random.split(key, 4)
-        # --- F ---
-        rf = ransac.acransac_f(kf, x1p, x2p, maskp, w, h,
-                               iters=cfg.ransac_iters,
-                               max_err_px=cfg.max_err_px)
-        if bool(rf.valid):
-            inl = np.asarray(rf.inliers)[:n]
-            out_f[(i, j)] = m[inl]
+    items = [(pr, m) for pr, m in sorted(putative.items()) if len(m) >= 16]
+    buckets: Dict[int, list] = {}
+    for pr, m in items:
+        cap = max(64, 1 << int(np.ceil(np.log2(len(m)))))
+        buckets.setdefault(cap, []).append((pr, m))
 
-        # --- E (needs focal priors) + overlap prune ---
-        if focals is not None and focals[i] > 0 and focals[j] > 0:
-            c1 = image_sizes[i] / 2.0
-            c2 = image_sizes[j] / 2.0
-            x1n = (x1 - c1) / focals[i]
-            x2n = (x2 - c2) / focals[j]
-            x1np = jnp.asarray(np.pad(x1n, ((0, pad), (0, 0))).astype(np.float32))
-            x2np = jnp.asarray(np.pad(x2n, ((0, pad), (0, 0))).astype(np.float32))
-            fmean = float(np.sqrt(focals[i] * focals[j]))
-            re = ransac.acransac_e(ke, x1np, x2np, maskp, focal_px=fmean,
-                                   iters=cfg.ransac_iters,
-                                   max_err_px=cfg.max_err_px)
-            if bool(re.valid):
-                inl = np.asarray(re.inliers)[:n]
-                ne = int(inl.sum())
-                # overlap prune (:2173-2191)
-                if ne >= cfg.e_min_matches or ne >= cfg.e_min_survival * n:
-                    out_e[(i, j)] = m[inl]
+    n_dev = _mesh_size(mesh)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(axis))
 
-        # --- H ---
-        if cfg.compute_homography:
-            rh = ransac.acransac_h(kh, x1p, x2p, maskp, w, h,
-                                   iters=cfg.ransac_iters,
-                                   max_err_px=cfg.max_err_px)
-            if bool(rh.valid):
-                inl = np.asarray(rh.inliers)[:n]
-                out_h[(i, j)] = m[inl]
+    max_err_f = np.float32(cfg.max_err_px ** 2)
+    n_done, n_total = 0, len(items)
+    for cap, blist in sorted(buckets.items()):
+        # block size bounded by the (iters, cap) residual-tensor budget
+        block = max(1, min(128, (1 << 26) // max(cfg.ransac_iters * cap, 1)))
+        block = ((block + n_dev - 1) // n_dev) * n_dev
+        for s0 in range(0, len(blist), block):
+            group = blist[s0:s0 + block]
+            Pn = len(group)
+            x1 = np.zeros((block, cap, 2), np.float32)
+            x2 = np.zeros((block, cap, 2), np.float32)
+            x1n = np.zeros((block, cap, 2), np.float32)
+            x2n = np.zeros((block, cap, 2), np.float32)
+            maskb = np.zeros((block, cap), bool)
+            la_f = np.zeros((block,), np.float32)
+            la_h = np.zeros((block,), np.float32)
+            la_e = np.zeros((block,), np.float32)
+            me_f = np.full((block,), max_err_f, np.float32)
+            me_e = np.full((block,), max_err_f, np.float32)
+            has_e = np.zeros((block,), bool)
+            for bi, ((i, j), m) in enumerate(group):
+                n = len(m)
+                p1 = xy[i][m[:, 0]]
+                p2 = xy[j][m[:, 1]]
+                x1[bi, :n] = p1
+                x2[bi, :n] = p2
+                maskb[bi, :n] = True
+                w = float(max(image_sizes[i][0], image_sizes[j][0]))
+                h = float(max(image_sizes[i][1], image_sizes[j][1]))
+                la_f[bi] = ransac._logalpha0_line(w, h)
+                la_h[bi] = ransac._logalpha0_point(w, h)
+                if focals is not None and focals[i] > 0 and focals[j] > 0:
+                    has_e[bi] = True
+                    x1n[bi, :n] = (p1 - image_sizes[i] / 2.0) / focals[i]
+                    x2n[bi, :n] = (p2 - image_sizes[j] / 2.0) / focals[j]
+                    fmean = float(np.sqrt(focals[i] * focals[j]))
+                    # image-geometry alpha0 in normalized units (OpenMVG's
+                    # essential ACRANSAC scores distances in pixels)
+                    diag = np.sqrt(w * w + h * h)
+                    la_e[bi] = np.log10(2.0 * diag / (w * h) * fmean)
+                    me_e[bi] = (cfg.max_err_px / fmean) ** 2
+            mask_e = maskb & has_e[:, None]
+
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, 3 * block)
+            kf, ke, kh = keys[:block], keys[block:2 * block], keys[2 * block:]
+
+            def put(a):
+                a = jnp.asarray(a)
+                return jax.device_put(a, shard) if shard is not None else a
+
+            rf = ransac.acransac_f_batch(
+                put(kf), put(x1), put(x2), put(maskb), put(la_f), put(me_f),
+                iters=cfg.ransac_iters)
+            re = None
+            if has_e.any():
+                re = ransac.acransac_e_batch(
+                    put(ke), put(x1n), put(x2n), put(mask_e), put(la_e),
+                    put(me_e), iters=cfg.ransac_iters)
+            rh = None
+            if cfg.compute_homography:
+                rh = ransac.acransac_h_batch(
+                    put(kh), put(x1), put(x2), put(maskb), put(la_h),
+                    put(me_f), iters=cfg.ransac_iters)
+
+            f_valid = np.asarray(rf.valid)
+            f_inl = np.asarray(rf.inliers)
+            e_valid = np.asarray(re.valid) if re is not None else None
+            e_inl = np.asarray(re.inliers) if re is not None else None
+            h_valid = np.asarray(rh.valid) if rh is not None else None
+            h_inl = np.asarray(rh.inliers) if rh is not None else None
+            for bi, ((i, j), m) in enumerate(group):
+                n = len(m)
+                if f_valid[bi]:
+                    out_f[(i, j)] = m[f_inl[bi][:n]]
+                if e_valid is not None and has_e[bi] and e_valid[bi]:
+                    inl = e_inl[bi][:n]
+                    if e_overlap_keep(int(inl.sum()), n, cfg):
+                        out_e[(i, j)] = m[inl]
+                if h_valid is not None and h_valid[bi]:
+                    out_h[(i, j)] = m[h_inl[bi][:n]]
+            n_done += Pn
+            if progress:
+                progress(n_done, n_total)
 
     stats = {
         "pairs_putative": len(putative),
@@ -278,10 +381,16 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         force: bool = False,
                         image_names: Optional[Sequence[str]] = None,
                         detector: str = "fast-akaze",
-                        progress=None) -> Dict:
-    """Full compute-matches step on a list of gray images. Returns stats."""
+                        progress=None, mesh=None) -> Dict:
+    """Full compute-matches step on a list of gray images. Returns stats.
+
+    With several devices visible, matching and geometric filtering shard
+    pair blocks over a 1-D ``pairs`` mesh automatically."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    if mesh is None and len(jax.devices()) > 1:
+        from regard3d_tpu.dist import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh("pairs")
     sizes0 = np.asarray([[im.shape[1], im.shape[0]] for im in images])
     write_stage_sfm_data(out_dir, sizes0, focals, image_names)
     counts = feat_mod.extract_features(images, out_dir, threshold,
@@ -289,10 +398,10 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                                        detector=detector,
                                        progress=progress)
     kps, descs = feat_mod.load_all_padded(out_dir, len(images), pad_to=256)
-    putative = match_all_pairs(kps, descs, cfg, progress=progress)
+    putative = match_all_pairs(kps, descs, cfg, progress=progress, mesh=mesh)
     image_sizes = np.asarray([[im.shape[1], im.shape[0]] for im in images])
     filt = geometric_filter(kps, putative, image_sizes, focals, cfg,
-                            progress=progress)
+                            progress=progress, mesh=mesh)
 
     save_matches_txt(os.path.join(out_dir, "matches.putative.txt"), putative)
     save_matches_txt(os.path.join(out_dir, "matches.f.txt"), filt.f)

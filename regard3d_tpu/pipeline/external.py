@@ -62,6 +62,56 @@ class ExternalPrograms:
                 f"install them on PATH or set R3D_EXTERNAL_PROGRAMS_DIR")
 
 
+def smvs_command(exe: str, scene_dir: str, args) -> List[str]:
+    """SMVS command parity (src/R3DDensificationProcess.cpp:171-176):
+    ``smvsrecon --scale=%d --output-scale=%d [-S] [--no-sgm] --alpha=%f
+    --force <scene>``."""
+    cmd = [exe,
+           "--scale=%d" % getattr(args, "input_scale", 2),
+           "--output-scale=%d" % getattr(args, "output_scale", 2)]
+    if getattr(args, "shading", False):
+        cmd.append("-S")
+    if not getattr(args, "sgm", True):
+        cmd.append("--no-sgm")
+    cmd += ["--alpha=%f" % getattr(args, "alpha", 1.0), "--force", scene_dir]
+    return cmd
+
+
+def fssr_commands(fssr_exe: str, meshclean_exe: str, dense: str, raw: str,
+                  surf: str, args) -> List[List[str]]:
+    """FSSR command parity (src/R3DSurfaceGenProcess.cpp:152-161):
+    ``fssrecon --scale-factor=%g --refine-octree=%d``, then
+    ``meshclean --threshold=%g --component-size=%d``."""
+    return [
+        [fssr_exe,
+         "--scale-factor=%g" % getattr(args, "scale_factor", 1.0),
+         "--refine-octree=%d" % getattr(args, "refine_octree_levels", 0),
+         dense, raw],
+        [meshclean_exe,
+         "--threshold=%g" % getattr(args, "conf_threshold", 1.0),
+         "--component-size=%d" % getattr(args, "min_component_size", 1000),
+         raw, surf],
+    ]
+
+
+def texrecon_command(exe: str, mve_scene: str, surf: str, out_prefix: str,
+                     args) -> List[str]:
+    """texrecon flag parity (src/R3DSurfaceGenProcess.cpp:172-197)."""
+    cmd = [exe]
+    if not getattr(args, "visibility_test", True):
+        cmd.append("--skip_geometric_visibility_test")
+    if getattr(args, "seam_leveling", "global") != "global":
+        cmd.append("--skip_global_seam_leveling")
+    if not getattr(args, "local_seam_leveling", True):
+        cmd.append("--skip_local_seam_leveling")
+    outlier = getattr(args, "outlier_removal", "none")
+    if outlier in ("gauss_clamping", "gauss_damping"):
+        cmd.append("--outlier_removal=%s" % outlier)
+    cmd.append("--no_intermediate_results")
+    cmd += [mve_scene + "::undistorted", surf, out_prefix]
+    return cmd
+
+
 def _run(cmd: List[str], log_path: str, cwd: Optional[str] = None):
     """Run one tool, capturing stdout/stderr to the step log
     (console-capture parity, src/R3DDensificationProcess.cpp:190-218)."""
@@ -141,13 +191,7 @@ def run_densification(project, triangulation_id: int, out_dir: str, args,
         ps_names = [os.path.basename(i["path"]) for i in infos]
         formats.export_mve2(out_dir, scene, images, ps_names)
         mve_scene = os.path.join(out_dir, "MVE")
-        cmd = [programs.paths["smvsrecon"],
-               "--scale=%d" % getattr(args, "input_scale", 2),
-               "--output-scale=%d" % getattr(args, "output_scale", 2)]
-        if not getattr(args, "shading", False):
-            cmd.append("--no-sgm") if getattr(args, "no_sgm", False) else None
-        cmd.append(mve_scene)
-        _run([c for c in cmd if c], log)
+        _run(smvs_command(programs.paths["smvsrecon"], mve_scene, args), log)
         dense = os.path.join(out_dir, "dense.ply")
         clouds = sorted(glob.glob(os.path.join(mve_scene, "smvs-*.ply")))
         if clouds:
@@ -208,14 +252,11 @@ def run_surface(project, densification_id: int, out_dir: str, args,
     elif method == "fssr":
         programs.require("fssrecon", "meshclean")
         raw = os.path.join(out_dir, "surface_raw.ply")
-        _run([programs.paths["fssrecon"],
-              "--refine-octree=%d" % getattr(args, "refine_octree_levels", 0),
-              dense, raw], log)
         surf = os.path.join(out_dir, "surface.ply")
-        _run([programs.paths["meshclean"],
-              "-c", str(getattr(args, "min_component_size", 1000)),
-              "-t", str(getattr(args, "conf_threshold", 1.0)), raw, surf],
-             log)
+        for cmd in fssr_commands(programs.paths["fssrecon"],
+                                 programs.paths["meshclean"],
+                                 dense, raw, surf, args):
+            _run(cmd, log)
     else:
         raise ValueError(f"unknown surface method {method}")
 
@@ -226,13 +267,14 @@ def run_surface(project, densification_id: int, out_dir: str, args,
             surf, dense, final, k=getattr(args, "color_neighbors", 3))
     elif colorize == "textures":
         tex_out = os.path.join(out_dir, "textured")
-        if (getattr(args, "texture_method", "tpu") == "texrecon"
-                and programs.has("texrecon")):
+        if getattr(args, "texture_method", "tpu") == "texrecon":
+            # explicit texrecon request fails loudly when missing; the
+            # silent TPU fallback is reserved for the default method
+            programs.require("texrecon")
             # texrecon needs the MVE scene from the densification step
-            mve_scene = os.path.join(
-                project._step_dir(dobj), "MVE")
-            _run([programs.paths["texrecon"], mve_scene + "::undistorted",
-                  surf, tex_out], log)
+            mve_scene = os.path.join(project._step_dir(dobj), "MVE")
+            _run(texrecon_command(programs.paths["texrecon"], mve_scene,
+                                  surf, tex_out, args), log)
             final = tex_out + ".obj"
         else:
             # in-process TPU-native texturing (no external binaries)

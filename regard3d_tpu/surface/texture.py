@@ -198,18 +198,30 @@ def face_view_data(scene: Scene, images_stacked, sizes, view_ids,
 
 def photometric_outlier_weights(scores: np.ndarray, means: np.ndarray,
                                 mode: str = "gauss_damping",
-                                clamp_sigma: float = 1.0) -> np.ndarray:
+                                clamp_sigma: float = 1.0,
+                                rounds: int = 3) -> np.ndarray:
     """texrecon's photometric outlier removal over candidate views.
+
+    The mean/variance is re-estimated iteratively with high-distance views
+    rejected each round (texrecon's behaviour), so a strong outlier cannot
+    inflate the statistics enough to mask itself.
 
     scores: (Nv, F); means: (Nv, F, 3). Returns per-(view, face) weight."""
     if mode in (None, "none"):
         return np.ones_like(scores)
     cand = scores > 0                                  # (Nv, F)
-    wsum = np.maximum(cand.sum(0), 1)                  # (F,)
-    mu = (means * cand[..., None]).sum(0) / wsum[:, None]
-    d2 = ((means - mu[None]) ** 2).sum(-1)             # (Nv, F)
-    var = np.maximum((d2 * cand).sum(0) / wsum, 1e-8)  # pooled per face
-    m2 = d2 / var
+    keep = cand.copy()
+    for _ in range(rounds):
+        wsum = np.maximum(keep.sum(0), 1)              # (F,)
+        mu = (means * keep[..., None]).sum(0) / wsum[:, None]
+        d2 = ((means - mu[None]) ** 2).sum(-1)         # (Nv, F)
+        var = np.maximum((d2 * keep).sum(0) / wsum, 1e-8)
+        m2 = d2 / var
+        # reject views beyond the clamp radius, but never drop below 2
+        # survivors per face (the statistics would degenerate)
+        new_keep = keep & (m2 <= clamp_sigma ** 2 * 3.0)
+        enough = new_keep.sum(0) >= 2
+        keep = np.where(enough[None, :], new_keep, keep)
     if mode == "gauss_clamping":
         return np.where(m2 <= clamp_sigma ** 2 * 3.0, 1.0, 0.0)
     if mode == "gauss_damping":
@@ -224,35 +236,51 @@ def select_views(scores: np.ndarray) -> np.ndarray:
     return lbl
 
 
+def _seam_pairs(verts, faces, labels, means, view_count: int):
+    """Compact (vertex, label) seam-leveling corrections.
+
+    Only the (vertex, label) pairs actually present in the mesh are
+    materialized (a vertex touches a handful of labels, never all Nv), so
+    memory is O(3F), not O(V*Nv). Returns (sorted unique keys (P,) with
+    key = vertex*view_count + label, adjustment (P, 3))."""
+    F = len(faces)
+    ok = labels >= 0
+    lbl = np.where(ok, labels, 0)
+    fcol = means[lbl, np.arange(F)]                    # (F, 3) winning color
+    keys = (faces.astype(np.int64) * view_count
+            + lbl[:, None])[ok].reshape(-1)            # (3*F_ok,)
+    fcol3 = np.repeat(fcol[ok], 3, axis=0)             # matching colors
+    uniq, inv = np.unique(keys, return_inverse=True)
+    P = len(uniq)
+    csum = np.zeros((P, 3), np.float32)
+    cnum = np.zeros((P,), np.float32)
+    np.add.at(csum, inv, fcol3)
+    np.add.at(cnum, inv, 1.0)
+    cvl = csum / cnum[:, None]                         # color per (v, l)
+    # cross-label mean per vertex over the pairs present
+    vidx = uniq // view_count
+    vuniq, vinv = np.unique(vidx, return_inverse=True)
+    vsum = np.zeros((len(vuniq), 3), np.float32)
+    vnum = np.zeros((len(vuniq),), np.float32)
+    np.add.at(vsum, vinv, cvl)
+    np.add.at(vnum, vinv, 1.0)
+    target = vsum / vnum[:, None]                      # (Vu, 3)
+    adj = target[vinv] - cvl                           # (P, 3)
+    return uniq, adj.astype(np.float32)
+
+
 def seam_level_global(verts, faces, labels, scores, means,
                       view_count: int):
     """Per-(vertex, label) additive correction (global seam leveling).
 
     For each vertex, the set of labels of its incident faces each get a
-    correction pulling that label's local color to the cross-label mean."""
-    F = len(faces)
-    ok = labels >= 0
-    lbl = np.where(ok, labels, 0)
-    fcol = means[lbl, np.arange(F)]                    # (F, 3) winning color
-    # accumulate per (vertex, label): sum of face colors & counts
-    keys = (faces.astype(np.int64) * view_count
-            + lbl[:, None]).reshape(-1)                # (3F,)
-    w = np.repeat(ok.astype(np.float32), 3)
-    csum = np.zeros((len(verts) * view_count, 3), np.float32)
-    cnum = np.zeros((len(verts) * view_count,), np.float32)
-    np.add.at(csum, keys, fcol.repeat(3, axis=0).reshape(-1, 3)
-              * w[:, None])
-    np.add.at(cnum, keys, w)
-    have = cnum > 0
-    cvl = np.zeros_like(csum)
-    cvl[have] = csum[have] / cnum[have, None]          # color per (v, l)
-    # cross-label mean per vertex
-    per_v = cvl.reshape(len(verts), view_count, 3)
-    per_n = have.reshape(len(verts), view_count).astype(np.float32)
-    tot = np.maximum(per_n.sum(1), 1)[:, None]
-    target = (per_v * per_n[..., None]).sum(1) / tot   # (V, 3)
-    adj = np.where(have[:, None], target.repeat(view_count, 0)
-                   .reshape(len(verts) * view_count, 3) - cvl, 0.0)
+    correction pulling that label's local color to the cross-label mean.
+    Returns the dense (V, view_count, 3) array — convenient for small
+    scenes/tests; the texturing pipeline uses the compact ``_seam_pairs``
+    representation directly."""
+    uniq, adj_pairs = _seam_pairs(verts, faces, labels, means, view_count)
+    adj = np.zeros((len(verts) * view_count, 3), np.float32)
+    adj[uniq] = adj_pairs
     return adj.reshape(len(verts), view_count, 3)
 
 
@@ -327,10 +355,6 @@ def texture_mesh(scene: Scene, images: Sequence[np.ndarray],
     labels = select_views(scores)                      # index into view_ids
 
     Nv = len(view_ids)
-    if seam_leveling == "global":
-        adj = seam_level_global(verts, faces, labels, scores, means, Nv)
-    else:
-        adj = np.zeros((len(verts), Nv, 3), np.float32)
 
     # --- atlas layout: one square block per face ------------------------
     pad = 1
@@ -353,8 +377,17 @@ def texture_mesh(scene: Scene, images: Sequence[np.ndarray],
     fv_all = verts[faces]
     ok = labels >= 0
     lbl_safe = np.where(ok, labels, 0)
-    # per-face per-corner adjustment for its winning label
-    adj_corners = adj[faces, lbl_safe[:, None]]        # (F, 3, 3)
+    # per-face per-corner adjustment for its winning label, looked up in
+    # the compact (vertex, label) pair table (no dense V*Nv array)
+    adj_corners = np.zeros((F, 3, 3), np.float32)
+    if seam_leveling == "global" and ok.any():
+        uniq, adj_pairs = _seam_pairs(verts, faces, labels, means, Nv)
+        keys = (faces.astype(np.int64) * Nv
+                + lbl_safe[:, None]).reshape(-1)       # (3F,)
+        pos = np.clip(np.searchsorted(uniq, keys), 0, len(uniq) - 1)
+        hit = uniq[pos] == keys
+        adj_corners = np.where(hit[:, None], adj_pairs[pos],
+                               0.0).reshape(F, 3, 3).astype(np.float32)
 
     for s0 in range(0, F, chunk):
         s1 = min(s0 + chunk, F)
@@ -431,8 +464,10 @@ def texture_project_mesh(project, densification_id: int, surface_ply: str,
 
     dobj = project.objects[densification_id]
     scene = sfm_data.load_npz(project.paths(dobj.parent_id).scene_npz)
-    ps_obj = project.objects[project.objects[dobj.parent_id].parent_id]
-    infos = ps_obj.params["image_info"]
+    # lineage: pictureset -> matches -> triangulation -> densification;
+    # image_info lives on the pictureset (cli.py cmd_import)
+    m_obj = project.objects[project.objects[dobj.parent_id].parent_id]
+    infos = project.objects[m_obj.parent_id].params["image_info"]
     images = [image_io.load_rgb(i["path"]) for i in infos]
     surf = read_ply(surface_ply)
     mesh = texture_mesh(

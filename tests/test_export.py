@@ -211,3 +211,44 @@ def test_external_mvs_export(tmp_path, rng):
     assert ori.startswith("$ImageID") and "ORI_Ver_1.0" in ori
     assert os.path.exists(os.path.join(out, "MVMPR", "data", "00001.cam"))
     assert os.path.exists(os.path.join(out, "mvs_firstRun.ini"))
+
+
+def test_bundler_view_lists(tmp_path):
+    """Per-landmark view lists parity (OpenMVGHelper.cpp:882-903):
+    `<n> <cam> <key> <px> <py>` per observation, point reprojected."""
+    s = make_scene()
+    out = str(tmp_path)
+    formats.export_bundler(out, s, [f"im{i}.jpg" for i in range(3)])
+    lines = open(os.path.join(out, "bundle.rd.out")).read().splitlines()
+    # camera block: 3 cams x 5 lines after 2 header lines
+    pt0 = 2 + 3 * 5
+    view_list = lines[pt0 + 2].split()
+    n = int(view_list[0])
+    assert n == 3                       # every landmark seen by all 3 views
+    assert len(view_list) == 1 + 4 * n
+    cams = {int(view_list[1 + 4 * k]) for k in range(n)}
+    assert cams == {0, 1, 2}
+
+
+def test_mvs_texturing_export(tmp_path):
+    s = make_scene()
+    out = str(tmp_path / "cams")
+    n = formats.export_mvs_texturing(out, s, [f"im{i}.jpg" for i in range(3)])
+    assert n == 3
+    for i in range(3):
+        path = os.path.join(out, f"im{i}.cam")
+        assert os.path.exists(path)
+        l1, l2 = open(path).read().splitlines()
+        vals1 = [float(x) for x in l1.split()]
+        vals2 = [float(x) for x in l2.split()]
+        assert len(vals1) == 12 and len(vals2) == 6
+        # t = -R C
+        R = np.asarray(vals1[3:]).reshape(3, 3)
+        t = np.asarray(vals1[:3])
+        C = np.asarray(s.poses.C)[i]
+        np.testing.assert_allclose(t, -R @ C, atol=1e-5)
+        # normalized focal f/max(w,h), pp in [0,1]
+        assert vals2[0] == pytest.approx(500.0 / 640.0, rel=1e-6)
+        assert vals2[1:4] == [0.0, 0.0, 1.0]
+        assert vals2[4] == pytest.approx(0.5, rel=1e-6)
+        assert vals2[5] == pytest.approx(0.5, rel=1e-6)

@@ -168,3 +168,51 @@ def test_write_textured_obj(tmp_path):
     assert sum(1 for l in lines if l.startswith("v ")) == 3
     assert sum(1 for l in lines if l.startswith("vt ")) == 3
     assert sum(1 for l in lines if l.startswith("f ")) == 1
+
+
+def test_texture_project_mesh_resolves_pictureset(tmp_path):
+    """Integration through the project store: texture_project_mesh must walk
+    densification -> triangulation -> matches -> pictureset to find
+    image_info (regression: it used to stop one hop short at matches)."""
+    from PIL import Image
+
+    from regard3d_tpu.core import sfm_data
+    from regard3d_tpu.export.ply import PlyData, write_ply
+    from regard3d_tpu.pipeline import project as proj_mod
+
+    f, hw = 200.0, 200
+    Cs = np.array([[-0.5, 0, 0], [0.5, 0, 0]], np.float32)
+    Rs = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    scene = _make_scene(Rs, Cs, f, hw)
+    img_paths = []
+    for k, C in enumerate(Cs):
+        img = (_render_plane(C, f, hw) * 255).astype(np.uint8)
+        path = str(tmp_path / f"im{k}.png")
+        Image.fromarray(img).save(path)
+        img_paths.append(path)
+
+    p = proj_mod.Project.create(str(tmp_path / "proj"))
+    ps = p.add_picture_set("ps", img_paths)
+    ps.params["image_info"] = [
+        {"path": path, "width": hw, "height": hw} for path in img_paths]
+    m = p.add_compute_matches(ps.id)
+    tri = p.add_triangulation(m.id)
+    dens = p.add_densification(tri.id)
+    p.prepare(tri.id)
+    sfm_data.save_npz(p.paths(tri.id).scene_npz, scene)
+    p.prepare(dens.id)
+
+    verts = np.array([[-1, -1, 5], [1, -1, 5], [1, 1, 5], [-1, 1, 5]],
+                     np.float32)
+    faces = np.array([[0, 2, 1], [0, 3, 2]])
+    surf = str(tmp_path / "surface.ply")
+    write_ply(surf, PlyData(xyz=verts, faces=faces))
+
+    class Args:
+        texel_res = 4
+        outlier_removal = "none"
+        seam_leveling = "none"
+
+    obj = texture.texture_project_mesh(p, dens.id, surf,
+                                       str(tmp_path / "tex"), Args())
+    assert os.path.exists(obj)
