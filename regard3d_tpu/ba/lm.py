@@ -53,6 +53,7 @@ def _psum(x, axis_name):
 class BAOptions:
     max_iterations: int = 30
     cg_iterations: int = 40
+    cg_tol: float = 1e-6              # relative preconditioned-residual stop
     init_lambda: float = 1e-4
     lambda_up: float = 4.0
     lambda_down: float = 0.5
@@ -281,15 +282,22 @@ def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
     def dot(a, b):
         return jnp.sum(a["c"] * b["c"]) + jnp.sum(a["i"] * b["i"])
 
-    # preconditioned CG
+    # preconditioned CG with a relative residual stop (Ceres-style
+    # eta-termination: quit once the preconditioned residual norm has
+    # dropped by cg_tol, instead of always burning cg_iterations steps)
     x = {"c": jnp.zeros_like(rhs["c"]), "i": jnp.zeros_like(rhs["i"])}
     rvec = rhs
     z = precond(rvec)
     p = z
     rz = dot(rvec, z)
+    rz0 = rz
 
-    def cg_body(_, carry):
-        x, rvec, p, rz = carry
+    def cg_cond(carry):
+        it, x, rvec, p, rz = carry
+        return (it < opts.cg_iterations) & (rz > opts.cg_tol ** 2 * rz0)
+
+    def cg_body(carry):
+        it, x, rvec, p, rz = carry
         Sp = S_mv(p)
         alpha = rz / jnp.maximum(dot(p, Sp), 1e-30)
         x = jax.tree_util.tree_map(lambda a, b: a + alpha * b, x, p)
@@ -298,10 +306,10 @@ def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
         rz_new = dot(rvec, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = jax.tree_util.tree_map(lambda a, b: a + beta * b, z, p)
-        return x, rvec, p, rz_new
+        return it + 1, x, rvec, p, rz_new
 
-    x, rvec, p, rz = jax.lax.fori_loop(0, opts.cg_iterations, cg_body,
-                                       (x, rvec, p, rz))
+    _, x, rvec, p, rz = jax.lax.while_loop(
+        cg_cond, cg_body, (jnp.int32(0), x, rvec, p, rz))
     dc = x["c"]
     di = x["i"]
 

@@ -125,6 +125,9 @@ def cmd_sfm(args):
     from regard3d_tpu.ingest import intrinsics as intr_mod
     from regard3d_tpu.pipeline import triangulation_step as ts
     from regard3d_tpu.pipeline.project import Project
+    if args.f64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
     p = Project.load(args.project)
     m_objs = [o for o in p.objects.values() if o.kind == "matches"
               and o.state == "finished"]
@@ -172,7 +175,7 @@ def cmd_sfm(args):
                 rotation_averaging=args.rotation_averaging,
                 translation_averaging=args.translation_averaging,
                 refine_intrinsics=not args.no_refine_intrinsics,
-                use_gps=args.use_gps),
+                use_gps=args.use_gps, f64=args.f64),
             image_names=[os.path.basename(i["path"]) for i in infos],
             center_priors=center_priors)
     except Exception as e:
@@ -314,6 +317,38 @@ def cmd_preview(args):
         print(f"wrote {path} + {svg} ({len(xy)} keypoints)")
 
 
+def cmd_pairs(args):
+    """Best validated pairs, ranked — the initial-pair list the reference's
+    triangulation dialog shows (OpenMVGHelper::getBestValidatedPairs,
+    src/utils/OpenMVGHelper.cpp:273-419)."""
+    from regard3d_tpu.pipeline import compute_matches as cm
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    m_objs = [o for o in p.objects.values() if o.kind == "matches"
+              and o.state == "finished"]
+    if not m_objs:
+        raise SystemExit("no finished compute-matches step")
+    mobj = m_objs[-1]
+    ps = p.objects[mobj.parent_id]
+    names = [os.path.basename(i["path"])
+             for i in ps.params.get("image_info", [])]
+    rows = cm.best_validated_pairs(p.paths(mobj.id).matches_dir,
+                                   kind=args.kind, limit=args.limit)
+    if args.json:
+        print(json.dumps(rows, indent=1))
+        return
+    print(f"{'rank':>4} {'i':>4} {'j':>4} {'geom':>6} {'putat':>6} "
+          f"{'surv':>6}  images")
+    for r, row in enumerate(rows):
+        label = ""
+        if names:
+            label = (f"{names[row['i']]} <-> {names[row['j']]}"
+                     if row["i"] < len(names) and row["j"] < len(names)
+                     else "")
+        print(f"{r:>4} {row['i']:>4} {row['j']:>4} {row['geometric']:>6} "
+              f"{row['putative']:>6} {row['survival']:>6.2f}  {label}")
+
+
 def cmd_camera_db(args):
     """User camera DB management (UserCameraDB dialog parity)."""
     from regard3d_tpu.ingest.sensor_db import UserCameraDB
@@ -421,6 +456,9 @@ def build_parser():
     s.add_argument("--translation-averaging", default="softl1",
                    choices=["l1", "l2_chordal", "softl1"])
     s.add_argument("--no-refine-intrinsics", action="store_true")
+    s.add_argument("--f64", action="store_true",
+                   help="run triangulation + BA in float64 (Ceres runs "
+                        "double; use for ATE-parity experiments)")
     s.add_argument("--use-gps", action="store_true",
                    help="anchor the reconstruction to EXIF GPS priors")
     s.add_argument("--profile", default=None,
@@ -514,6 +552,13 @@ def build_parser():
     s.add_argument("--rich", action="store_true", default=True)
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_preview)
+
+    s = sub.add_parser("pairs")
+    s.add_argument("project")
+    s.add_argument("--kind", default="f", choices=["putative", "f", "e", "h"])
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_pairs)
 
     s = sub.add_parser("camera-db")
     s.add_argument("action", choices=["list", "add", "remove"])

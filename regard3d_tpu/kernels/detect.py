@@ -71,18 +71,22 @@ def det_hessian(levels: List[ss.Evolution]):
 
 
 def _nms3x3(r, threshold: float, min_threshold: float):
-    """Strict 3x3 local max above threshold; border excluded. r: (B,H,W)."""
+    """Strict 3x3 local max above threshold; border excluded. r: (B,H,W).
+
+    AKAZE requires the response to be *strictly* greater than all 8
+    neighbours (akaze/lib/AKAZE.h Find_Scale_Space_Extrema uses ``>``), so
+    plateau ties suppress each other; the centre-excluded neighbour max is
+    formed from 8 shifted slices of a -inf-padded response map."""
     B, H, W = r.shape
-    neigh = jax.lax.reduce_window(
-        r, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1),
-        [(0, 0), (1, 1), (1, 1)])
-    # strict: the value must equal the window max AND be strictly greater than
-    # all 8 neighbours -> window max == value and value > second max. Use:
-    # value >= windowmax and value > (windowmax of r with center suppressed).
-    # Cheaper equivalent: value == windowmax and the maximum is unique; ties
-    # are broken by keeping the lexicographically first — approximate with
-    # value >= neighbours' max computed excluding center via a trick:
-    is_max = r >= neigh
+    p = jnp.pad(r, ((0, 0), (1, 1), (1, 1)), constant_values=-jnp.inf)
+    nmax = None
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            s = p[:, dy:dy + H, dx:dx + W]
+            nmax = s if nmax is None else jnp.maximum(nmax, s)
+    is_max = r > nmax
     thr = (r > threshold) & (r >= min_threshold)
     mask = is_max & thr
     # exclude 1px border (reference loops 1..rows-1)

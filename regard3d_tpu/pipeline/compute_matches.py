@@ -13,8 +13,9 @@ TPU mapping:
   descriptors are stacked per pair block and the kernel is vmapped;
 * geometric filters run as the vectorized AC-RANSAC with 2048-iteration /
   4.0 px parity defaults (:2088-2101);
-* the E-matrix overlap prune keeps a pair only if >=50 geometric matches or
-  >=30% putative survival (:2173-2191).
+* the E-matrix overlap prune keeps a pair only if >=50 geometric matches AND
+  >=30% putative survival (the reference drops on either failure,
+  :2173-2191).
 
 Artifacts (contract parity, SURVEY.md §A.4): matches.putative.txt,
 matches.f.txt, matches.e.txt, matches.h.txt (OpenMVG text format:
@@ -96,6 +97,31 @@ def load_matches_txt(path: str) -> Dict[Tuple[int, int], np.ndarray]:
         pos += 2 * n
         out[(i, j)] = arr
     return out
+
+
+def best_validated_pairs(matches_dir: str, kind: str = "f",
+                         limit: int = 0) -> List[Dict]:
+    """Pairs ranked by geometrically-validated match count — the list the
+    reference's triangulation dialog shows for initial-pair selection
+    (``OpenMVGHelper::getBestValidatedPairs``,
+    src/utils/OpenMVGHelper.cpp:273-419).
+
+    Returns dicts with (i, j, geometric, putative, survival) sorted by
+    geometric count descending."""
+    geo = load_matches_txt(os.path.join(matches_dir, f"matches.{kind}.txt"))
+    put_path = os.path.join(matches_dir, "matches.putative.txt")
+    put = load_matches_txt(put_path) if os.path.exists(put_path) else {}
+    rows = []
+    for (i, j), m in geo.items():
+        n_put = len(put.get((i, j), m))
+        rows.append({
+            "i": int(i), "j": int(j),
+            "geometric": int(len(m)),
+            "putative": int(n_put),
+            "survival": float(len(m)) / max(n_put, 1),
+        })
+    rows.sort(key=lambda r: -r["geometric"])
+    return rows[:limit] if limit else rows
 
 
 def adjacency_svg(path: str, n: int,

@@ -39,29 +39,33 @@ class TriangulationParams:
     use_gps: bool = False
     matches_kind: str = "f"           # global engine requires "e" (:222)
     min_pair_matches: int = 30        # global: pair-support gate
+    f64: bool = False                 # run the engines in float64 (the
+                                      # reference's Ceres BA runs double —
+                                      # SURVEY §7 hard part 5); requires
+                                      # jax_enable_x64
 
 
 def build_sfm_inputs(matches_dir: str, num_images: int,
                      intr_id: np.ndarray, intr: np.ndarray,
                      models: np.ndarray, image_sizes: np.ndarray,
-                     matches_kind: str = "f"):
+                     matches_kind: str = "f", dtype=np.float32):
     """Features + match files -> tracks -> static SfMInputs."""
     matches = cm.load_matches_txt(
         os.path.join(matches_dir, f"matches.{matches_kind}.txt"))
     table = tracks_mod.build_tracks(matches)
-    xy = np.zeros((len(table.track_id), 2), np.float32)
+    xy = np.zeros((len(table.track_id), 2), dtype)
     feats = [feat_mod.load_features(matches_dir, i)[0]
              for i in range(num_images)]
     for o in range(len(table.track_id)):
         xy[o] = feats[table.view_id[o]][table.feature_id[o]]
     return incremental.SfMInputs(
-        xy=jnp.asarray(xy),
+        xy=jnp.asarray(xy, dtype),
         track_id=jnp.asarray(table.track_id),
         view_id=jnp.asarray(table.view_id),
         feature_id=jnp.asarray(table.feature_id),
         num_tracks=table.num_tracks,
         intr_id=jnp.asarray(intr_id),
-        intr=jnp.asarray(intr),
+        intr=jnp.asarray(intr, dtype),
         models=jnp.asarray(models),
         image_sizes=image_sizes,
     ), table
@@ -145,8 +149,14 @@ def run_triangulation(matches_dir: str, out_dir: str,
     image_sizes = np.asarray([[im.shape[1], im.shape[0]] for im in images])
 
     kind = "e" if params.engine == "global" else params.matches_kind
+    dtype = np.float64 if params.f64 else np.float32
+    if params.f64:
+        import jax
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError("f64 engines need jax_enable_x64 "
+                             "(r3d sfm --f64 sets it before compute)")
     inputs, table = build_sfm_inputs(matches_dir, len(images), intr_id, intr,
-                                     models, image_sizes, kind)
+                                     models, image_sizes, kind, dtype=dtype)
 
     if params.engine == "global":
         result = global_sfm.run_global(

@@ -93,17 +93,9 @@ def select_initial_pair(inputs: SfMInputs, table: tracks_mod.TrackTable,
     """MaxPair-style auto initializer: try the pairs with the most shared
     tracks, keep the first that yields a well-conditioned relative pose
     (enough E-inliers). ~ SfMSceneInitializerMaxPair parity."""
-    counts = tracks_mod.shared_track_count(table, num_views)
-    pairs = [(int(counts[i, j]), i, j) for i in range(num_views)
-             for j in range(i + 1, num_views) if counts[i, j] >= 30]
-    if cfg.initializer == "stellar" and pairs:
-        # stellar: favour pairs around the best-connected hub view (the
-        # view with the largest summed co-visibility over its neighbours)
-        hub = int(np.argmax(counts.sum(1)))
-        hub_pairs = [p for p in pairs if hub in p[1:]]
-        pairs = sorted(hub_pairs, reverse=True) +             [p for p in pairs if p not in hub_pairs]
-    else:
-        pairs.sort(reverse=True)
+    cand, counts = tracks_mod.covisibility_pairs(table, num_views,
+                                                 min_count=30)
+    pairs = [(int(c), int(i), int(j)) for c, (i, j) in zip(counts, cand)]
     xn = np.asarray(_normalized_xy(inputs, inputs.intr))
     fallback = None
     for rank, (cnt, i, j) in enumerate(pairs[:10]):
@@ -174,6 +166,150 @@ def _two_view_geometry(inputs, xn, i, j, key, cfg):
     return res.model, (oi, oj, res.inliers, n), x1, res.num_inliers
 
 
+def _midpoint_hub_depths(xh: np.ndarray, xv: np.ndarray,
+                         Rj: np.ndarray, Cj: np.ndarray) -> np.ndarray:
+    """Hub-frame depths of two-ray midpoints.  ``xh``/``xv``: (N, 2)
+    normalized coords in the hub / neighbour cameras; ``Rj``, ``Cj``: the
+    neighbour pose in the hub frame (x_cam = Rj (X - Cj)).  Negative or
+    ill-conditioned rows come back <= 0."""
+    dh = np.concatenate([xh, np.ones((len(xh), 1))], 1)
+    dh /= np.linalg.norm(dh, axis=1, keepdims=True)
+    dv = np.concatenate([xv, np.ones((len(xv), 1))], 1) @ Rj  # R^T x
+    dv /= np.linalg.norm(dv, axis=1, keepdims=True)
+    dhv = np.sum(dh * dv, 1)
+    det = 1.0 - dhv * dhv
+    t = (dh @ Cj - dhv * (dv @ Cj)) / np.maximum(det, 1e-9)
+    t = np.where(det > 1e-9, t, -1.0)
+    return t * dh[:, 2]
+
+
+def _stellar_seed(inputs: SfMInputs, table: tracks_mod.TrackTable,
+                  key, cfg: IncrementalConfig, num_views: int,
+                  xn: np.ndarray, max_branches: int = 6):
+    """Stellar initializer: a local reconstruction around the best-connected
+    hub view (SfMSceneInitializerStellar behaviour, selected by the v2
+    engine menu — src/threads/R3DTriangulationThread.cpp:492-498).
+
+    1. hub = view with the largest summed co-visibility;
+    2. each hub edge gets a robust relative pose (unit baseline) and hub-ray
+       depths for its inlier tracks;
+    3. per-edge baseline scales are reconciled by a log-least-squares over
+       the depth ratios of tracks shared between edges;
+    4. every connected branch becomes a seeded pose.
+
+    Returns (hub, {view: (R, C)}, deactivate_rows) or None when fewer than
+    two branches survive (caller falls back to MaxPair)."""
+    cand, counts = tracks_mod.covisibility_pairs(table, num_views,
+                                                 min_count=30)
+    if len(cand) == 0:
+        return None
+    strength = np.zeros(num_views, np.int64)
+    np.add.at(strength, cand[:, 0], counts)
+    np.add.at(strength, cand[:, 1], counts)
+    hub = int(np.argmax(strength))
+    on_hub = (cand[:, 0] == hub) | (cand[:, 1] == hub)
+    branches = [int(a if b == hub else b)
+                for a, b in cand[on_hub][:2 * max_branches]]
+
+    tid_np = np.asarray(inputs.track_id)
+    edges = []    # (view, R, C_unit, {track: depth}, deact_rows)
+    for v in branches:
+        if len(edges) >= max_branches:
+            break
+        key, k = jax.random.split(key)
+        i, j = min(hub, v), max(hub, v)
+        two = _two_view_geometry(inputs, xn, i, j, k, cfg)
+        if two is None or int(two[3]) < cfg.min_initial_inliers:
+            continue
+        E, (oi, oj, inl_pad, n_pair), _, _ = two
+        inl = np.asarray(inl_pad)[:n_pair]
+        # decompose in the estimation frame (view i at identity): pose of j
+        # is x_j = Rrel (X - Cj') with Cj' = -Rrel^T trel
+        Rrel, trel, _ = geometry.decompose_essential(
+            E[None], jnp.asarray(xn[oi[inl]])[None],
+            jnp.asarray(xn[oj[inl]])[None])
+        Rrel = np.asarray(Rrel[0])
+        trel = np.asarray(trel[0])
+        if hub == i:
+            Rj, Cj = Rrel, -Rrel.T @ trel            # v's pose in hub frame
+            oh, ov = oi, oj
+        else:
+            # estimated hub-in-v; invert to v-in-hub: R_v = Rrel^T, C_v = t
+            Rj, Cj = Rrel.T, trel
+            oh, ov = oj, oi
+        depths = _midpoint_hub_depths(xn[oh[inl]], xn[ov[inl]], Rj, Cj)
+        good = depths > 1e-6
+        if good.sum() < cfg.min_initial_inliers // 2:
+            continue
+        dmap = dict(zip(tid_np[oh[inl]][good].tolist(),
+                        depths[good].tolist()))
+        deact = np.concatenate([oh[~inl], ov[~inl]])
+        edges.append((v, Rj, Cj, dmap, deact))
+
+    if len(edges) < 2:
+        return None
+
+    # --- reconcile per-edge baseline scales (log least squares) -----------
+    k_e = len(edges)
+    rows, rhs = [], []
+    for a in range(k_e):
+        for b in range(a + 1, k_e):
+            da, db = edges[a][3], edges[b][3]
+            common = set(da) & set(db)
+            if len(common) < 5:
+                continue
+            logr = np.log([da[t] / db[t] for t in common
+                           if da[t] > 0 and db[t] > 0])
+            if len(logr) < 5:
+                continue
+            row = np.zeros(k_e)
+            row[a], row[b] = 1.0, -1.0
+            rows.append(row)
+            rhs.append(-float(np.median(logr)))   # s_a d_a = s_b d_b
+    if not rows:
+        return None
+    # connectivity: keep only edges reachable from edge 0 through constraints
+    adj = [set() for _ in range(k_e)]
+    for row in rows:
+        a, b = int(np.argmax(row)), int(np.argmin(row))
+        adj[a].add(b)
+        adj[b].add(a)
+    seen = {0}
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        for m in adj[n]:
+            if m not in seen:
+                seen.add(m)
+                stack.append(m)
+    keep = sorted(seen)
+    if len(keep) < 2:
+        return None
+    remap = {e: i for i, e in enumerate(keep)}
+    A = np.zeros((len(rows) + 1, len(keep)))
+    bvec = np.zeros(len(rows) + 1)
+    nrow = 0
+    for row, r in zip(rows, rhs):
+        a, b = int(np.argmax(row)), int(np.argmin(row))
+        if a in remap and b in remap:
+            A[nrow, remap[a]] = 1.0
+            A[nrow, remap[b]] = -1.0
+            bvec[nrow] = r
+            nrow += 1
+    A[nrow, 0] = 1.0          # anchor: first edge scale = 1
+    bvec[nrow] = 0.0
+    logs = np.linalg.lstsq(A[:nrow + 1], bvec[:nrow + 1], rcond=None)[0]
+    scales = np.exp(logs)
+
+    poses = {hub: (np.eye(3), np.zeros(3))}
+    deact_all = []
+    for i, e in enumerate(keep):
+        v, Rj, Cj, _, deact = edges[e]
+        poses[v] = (Rj, Cj * scales[i])
+        deact_all.append(deact)
+    return hub, poses, np.concatenate(deact_all)
+
+
 def run_incremental(inputs: SfMInputs,
                     initial_pair: Optional[Tuple[int, int]] = None,
                     cfg: IncrementalConfig = IncrementalConfig(),
@@ -206,31 +342,47 @@ def run_incremental(inputs: SfMInputs,
                                   np.asarray(inputs.view_id),
                                   np.asarray(inputs.feature_id), T)
 
-    # --- initial pair -----------------------------------------------------
-    if initial_pair is None:
-        initial_pair = select_initial_pair(inputs, table, key, cfg, V)
-        if initial_pair is None:
-            raise ValueError("no viable initial pair")
-    i0, j0 = initial_pair
+    # --- initialization: stellar pod or initial pair ----------------------
     xn = np.asarray(_normalized_xy(inputs, intr))
+    pod_size = 0
+    if initial_pair is None and cfg.initializer == "stellar":
+        key, ks = jax.random.split(key)
+        seed = _stellar_seed(inputs, table, ks, cfg, V, xn)
+        if seed is not None:
+            hub, poses, deact = seed
+            i0 = hub
+            for v, (Rv, Cv) in poses.items():
+                R = R.at[v].set(jnp.asarray(Rv, dtype))
+                C = C.at[v].set(jnp.asarray(Cv, dtype))
+                pose_mask[v] = True
+            obs_active[deact] = False
+            pod_size = len(poses)
+    if pod_size == 0:
+        if initial_pair is None:
+            initial_pair = select_initial_pair(inputs, table, key, cfg, V)
+            if initial_pair is None:
+                raise ValueError("no viable initial pair")
+        i0, j0 = initial_pair
 
-    key, k1 = jax.random.split(key)
-    two = _two_view_geometry(inputs, xn, i0, j0, k1, cfg)
-    if two is None:
-        raise ValueError(f"initial pair {initial_pair} failed E estimation")
-    E, (oi, oj, inl_pad, n_pair), x1pad, n_inl = two
-    inl = np.asarray(inl_pad)[:n_pair]
+        key, k1 = jax.random.split(key)
+        two = _two_view_geometry(inputs, xn, i0, j0, k1, cfg)
+        if two is None:
+            raise ValueError(
+                f"initial pair {initial_pair} failed E estimation")
+        E, (oi, oj, inl_pad, n_pair), x1pad, n_inl = two
+        inl = np.asarray(inl_pad)[:n_pair]
 
-    x1 = jnp.asarray(xn[oi[inl]])
-    x2 = jnp.asarray(xn[oj[inl]])
-    Rrel, trel, _ = geometry.decompose_essential(E[None], x1[None], x2[None])
-    R = R.at[j0].set(Rrel[0])
-    C = C.at[j0].set(-jnp.einsum("ji,j->i", Rrel[0], trel[0]))
-    pose_mask[[i0, j0]] = True
+        x1 = jnp.asarray(xn[oi[inl]])
+        x2 = jnp.asarray(xn[oj[inl]])
+        Rrel, trel, _ = geometry.decompose_essential(E[None], x1[None],
+                                                     x2[None])
+        R = R.at[j0].set(Rrel[0])
+        C = C.at[j0].set(-jnp.einsum("ji,j->i", Rrel[0], trel[0]))
+        pose_mask[[i0, j0]] = True
 
-    # deactivate pair observations that failed the E filter
-    obs_active[oi[~inl]] = False
-    obs_active[oj[~inl]] = False
+        # deactivate pair observations that failed the E filter
+        obs_active[oi[~inl]] = False
+        obs_active[oj[~inl]] = False
 
     # jitted helpers -------------------------------------------------------
     tid = jnp.asarray(inputs.track_id)
@@ -294,7 +446,7 @@ def run_incremental(inputs: SfMInputs,
     vid_np = np.asarray(inputs.view_id)
     tid_np = np.asarray(inputs.track_id)
     added_since_ba = 0
-    order_added = [i0, j0]
+    order_added = [int(v) for v in np.nonzero(pose_mask)[0]]
     failed_at: Dict[int, int] = {}     # view -> score when resection failed
     while True:
         # candidate views scored by #visible triangulated tracks (one
@@ -407,4 +559,6 @@ def run_incremental(inputs: SfMInputs,
         "residual_median": float(np.median(resid)),
         "order_added": order_added,
     }
+    if pod_size:
+        stats["stellar_pod_size"] = pod_size
     return SfMResult(R, C, pose_mask, X, track_ok, obs_active, intr, stats)

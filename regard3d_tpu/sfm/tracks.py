@@ -117,6 +117,41 @@ def tracks_in_views(table: TrackTable, views: List[int]) -> np.ndarray:
     return np.asarray(sorted(sel or []), np.int32)
 
 
+def covisibility_pairs(table: TrackTable, num_views: int,
+                       min_count: int = 1
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse co-visibility: (pairs (P, 2) int32 with i<j, counts (P,)),
+    sorted by count descending.  Never materializes a (V, V) matrix, so
+    Rome16K-scale view graphs (V ~ 16k) stay in O(sum_t k_t^2) memory."""
+    if len(table.track_id) == 0:
+        return np.zeros((0, 2), np.int32), np.zeros(0, np.int64)
+    V = np.int64(num_views)
+    order = np.lexsort((table.view_id, table.track_id))
+    tid = table.track_id[order]
+    vid = table.view_id[order].astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+    ends = np.r_[starts[1:], len(tid)]
+    lens = ends - starts
+    codes = []
+    for k in np.unique(lens):
+        if k < 2:
+            continue
+        sel = starts[lens == k]
+        idx = sel[:, None] + np.arange(k)[None, :]
+        vs = vid[idx]                                  # sorted within track
+        iu, ju = np.triu_indices(int(k), 1)
+        codes.append(vs[:, iu].ravel() * V + vs[:, ju].ravel())
+    if not codes:
+        return np.zeros((0, 2), np.int32), np.zeros(0, np.int64)
+    enc, counts = np.unique(np.concatenate(codes), return_counts=True)
+    keep = counts >= min_count
+    enc, counts = enc[keep], counts[keep]
+    o = np.argsort(-counts, kind="stable")
+    enc, counts = enc[o], counts[o]
+    pairs = np.stack([enc // V, enc % V], -1).astype(np.int32)
+    return pairs, counts
+
+
 def shared_track_count(table: TrackTable, num_views: int) -> np.ndarray:
     """(V, V) matrix of co-visible track counts (used for initial-pair /
     next-view selection).

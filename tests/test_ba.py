@@ -207,3 +207,37 @@ def test_layout_falls_back_on_skew(rng):
     vid[600:] = np.arange(120)[: len(vid) - 600] % 6
     obs2 = obs._replace(view_id=jnp.asarray(vid))
     assert lm.make_layout(obs2, 6, 120, 1, max_pad_factor=2.0) is None
+
+
+def test_ba_f64_islands(rng):
+    # SURVEY §7 hard part 5: Ceres runs double; the --f64 switch runs the
+    # whole LM/Schur pipeline in float64 for ATE-parity experiments.
+    jax.config.update("jax_enable_x64", True)
+    try:
+        state, gt, obs = synth_ba_problem(rng, noise_px=0.0)
+        state = lm.BAState(*(jnp.asarray(x, jnp.float64) for x in state))
+        obs = obs._replace(xy=jnp.asarray(obs.xy, jnp.float64),
+                           weight=jnp.asarray(obs.weight, jnp.float64))
+        fixed = jnp.zeros((state.R.shape[0],), bool).at[0].set(True)
+        out, stats = lm.bundle_adjust(
+            state, obs, lm.BAOptions(max_iterations=25),
+            fixed_pose_mask=fixed)
+        assert out.X.dtype == jnp.float64
+        assert float(stats.final_cost) < float(stats.initial_cost)
+        # noiseless problem in f64 should reach a much deeper floor than f32
+        assert rms_px(out, obs) < 1e-4
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_ba_cg_tol_early_stop_matches_full(rng):
+    # the relative CG stop must not change the solution materially
+    state, gt, obs = synth_ba_problem(rng)
+    fixed = jnp.zeros((state.R.shape[0],), bool).at[0].set(True)
+    out_a, _ = lm.bundle_adjust(
+        state, obs, lm.BAOptions(max_iterations=10, cg_tol=0.0),
+        fixed_pose_mask=fixed)
+    out_b, _ = lm.bundle_adjust(
+        state, obs, lm.BAOptions(max_iterations=10, cg_tol=1e-6),
+        fixed_pose_mask=fixed)
+    assert abs(rms_px(out_a, obs) - rms_px(out_b, obs)) < 0.05

@@ -188,3 +188,47 @@ def test_incremental_gps_anchoring(rng):
     # direct (unaligned) error against GT must be at prior-noise level
     err = np.linalg.norm(np.asarray(result.C) - scene["Cs"], axis=1)
     assert err.mean() < 0.15, err
+
+
+def test_covisibility_pairs_sparse(rng):
+    scene = synth_scene(rng, n_cams=6, n_pts=150)
+    inputs, table = build_inputs(scene)
+    dense = tracks.shared_track_count(table, 6)
+    pairs, counts = tracks.covisibility_pairs(table, 6)
+    got = {(int(i), int(j)): int(c) for (i, j), c in zip(pairs, counts)}
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert got.get((i, j), 0) == dense[i, j]
+    # sorted descending
+    assert all(counts[k] >= counts[k + 1] for k in range(len(counts) - 1))
+
+
+def test_stellar_seed_poses(rng):
+    # the stellar initializer must seed a multi-view pod around the hub
+    # whose poses match GT after Sim3 alignment
+    scene = synth_scene(rng, n_cams=8, n_pts=400, noise_px=0.3)
+    inputs, table = build_inputs(scene)
+    import jax
+    xn = np.asarray(incremental._normalized_xy(inputs, inputs.intr))
+    cfg = incremental.IncrementalConfig(initializer="stellar")
+    seed = incremental._stellar_seed(inputs, table, jax.random.PRNGKey(0),
+                                     cfg, 8, xn)
+    assert seed is not None
+    hub, poses, deact = seed
+    assert len(poses) >= 3            # hub + >=2 branches
+    views = sorted(poses)
+    C_est = np.stack([poses[v][1] for v in views])
+    C_gt = scene["Cs"][views]
+    ate = metrics.ate_rmse(C_est, C_gt)
+    assert ate < 0.5, ate             # scene scale ~10; seed-level accuracy
+
+
+def test_incremental_stellar_full_scene(rng):
+    scene = synth_scene(rng, n_cams=8, n_pts=400, noise_px=0.3)
+    inputs, table = build_inputs(scene)
+    res = incremental.run_incremental(
+        inputs, cfg=incremental.IncrementalConfig(initializer="stellar"))
+    assert res.pose_mask.sum() == 8
+    assert res.stats["rms_px"] < 1.0
+    ate = metrics.ate_rmse(np.asarray(res.C), scene["Cs"])
+    assert ate < 0.1, ate

@@ -221,3 +221,23 @@ def test_triangulation_driver_global_engine(tmp_path, rng):
     assert stats["num_cameras"] == 6, stats
     assert stats["rms_px"] < 1.0, stats
     assert os.path.exists(os.path.join(out, "sfm_data.json"))
+
+
+def test_best_validated_pairs(tmp_path):
+    # getBestValidatedPairs parity (OpenMVGHelper.cpp:273-419): ranked by
+    # geometric match count, with putative counts + survival ratios.
+    from regard3d_tpu.pipeline import compute_matches as cm
+    put = {(0, 1): np.zeros((100, 2), np.int64),
+           (0, 2): np.zeros((80, 2), np.int64),
+           (1, 2): np.zeros((60, 2), np.int64)}
+    geo = {(0, 1): np.zeros((90, 2), np.int64),
+           (0, 2): np.zeros((20, 2), np.int64),
+           (1, 2): np.zeros((55, 2), np.int64)}
+    cm.save_matches_txt(str(tmp_path / "matches.putative.txt"), put)
+    cm.save_matches_txt(str(tmp_path / "matches.f.txt"), geo)
+    rows = cm.best_validated_pairs(str(tmp_path))
+    assert [(r["i"], r["j"]) for r in rows] == [(0, 1), (1, 2), (0, 2)]
+    assert rows[0]["putative"] == 100
+    assert abs(rows[0]["survival"] - 0.9) < 1e-9
+    top = cm.best_validated_pairs(str(tmp_path), limit=1)
+    assert len(top) == 1 and top[0]["geometric"] == 90

@@ -130,3 +130,25 @@ def test_detect_angles_in_range():
     kps = detect.detect_akaze(jnp.asarray(img)[None], max_keypoints=256)
     ang = np.asarray(kps.angle[0])[np.asarray(kps.mask[0])]
     assert ((ang >= 0) & (ang < 2 * np.pi + 1e-6)).all()
+
+
+def test_nms3x3_strict_suppresses_plateaus():
+    # AKAZE extrema use strict '>' vs all 8 neighbours
+    # (akaze/lib/AKAZE.cpp Find_Scale_Space_Extrema): a 2-pixel plateau of
+    # equal maxima must yield NO keypoint, a strict peak exactly one.
+    r = np.zeros((1, 9, 9), np.float32)
+    r[0, 3, 3] = 1.0
+    r[0, 3, 4] = 1.0          # plateau partner
+    r[0, 6, 6] = 2.0          # strict peak
+    mask = np.asarray(detect._nms3x3(jnp.asarray(r), 0.1, 0.0))
+    assert not mask[0, 3, 3] and not mask[0, 3, 4]
+    assert mask[0, 6, 6]
+    assert mask.sum() == 1
+
+
+def test_nms3x3_border_and_threshold():
+    r = np.zeros((1, 7, 7), np.float32)
+    r[0, 0, 0] = 5.0          # border: excluded even though maximal
+    r[0, 3, 3] = 0.05         # below threshold
+    mask = np.asarray(detect._nms3x3(jnp.asarray(r), 0.1, 0.0))
+    assert mask.sum() == 0
