@@ -349,6 +349,22 @@ def cmd_pairs(args):
               f"{row['putative']:>6} {row['survival']:>6.2f}  {label}")
 
 
+def cmd_launch(args):
+    """Run an r3d command across N coordinated jax.distributed processes
+    (single-machine stand-in for an N-host pod; see dist/launch.py)."""
+    from regard3d_tpu.dist import launch as launch_mod
+    rest = args.rest
+    if rest and rest[0] == "--":
+        rest = rest[1:]
+    if not rest:
+        raise SystemExit("usage: r3d launch -n N -- <subcommand> [args...]")
+    rc = launch_mod.launch_local(
+        args.num_processes, rest,
+        devices_per_process=args.devices_per_process,
+        log_dir=args.log_dir)
+    sys.exit(rc)
+
+
 def cmd_camera_db(args):
     """User camera DB management (UserCameraDB dialog parity)."""
     from regard3d_tpu.ingest.sensor_db import UserCameraDB
@@ -553,6 +569,14 @@ def build_parser():
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_preview)
 
+    s = sub.add_parser("launch")
+    s.add_argument("-n", "--num-processes", type=int, default=2)
+    s.add_argument("--devices-per-process", type=int, default=1)
+    s.add_argument("--log-dir", default=None)
+    s.add_argument("rest", nargs=argparse.REMAINDER,
+                   help="r3d subcommand + args to run in every process")
+    s.set_defaults(fn=cmd_launch)
+
     s = sub.add_parser("pairs")
     s.add_argument("project")
     s.add_argument("--kind", default="f", choices=["putative", "f", "e", "h"])
@@ -576,6 +600,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from regard3d_tpu.dist import launch as launch_mod
+    launch_mod.init_from_env()    # join a multi-process job when launched
     args = build_parser().parse_args(argv)
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
