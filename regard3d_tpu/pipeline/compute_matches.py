@@ -442,4 +442,18 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
     stats = dict(filt.stats)
     stats["keypoints"] = counts
     stats["elapsed_s"] = time.time() - t0
+
+    # per-pair match tables (src/R3DComputeMatches.cpp:2066-2076 parity)
+    from regard3d_tpu.pipeline.report import write_matches_report
+    pair_rows = [{"i": int(i), "j": int(j),
+                  "putative": int(len(putative.get((i, j), ()))),
+                  "geometric": int(len(m)),
+                  "survival": (len(m)
+                               / max(len(putative.get((i, j), ())), 1))}
+                 for (i, j), m in sorted(filt.f.items(),
+                                         key=lambda kv: -len(kv[1]))]
+    write_matches_report(
+        os.path.join(out_dir, "Matching_Report.html"),
+        {k: v for k, v in stats.items() if isinstance(v, (int, float, str))},
+        pair_rows, keypoint_counts=counts, image_names=image_names)
     return stats

@@ -194,6 +194,41 @@ def run_triangulation(matches_dir: str, out_dir: str,
                                       255).astype(np.uint8)))
     stats = dict(result.stats)
     stats["elapsed_s"] = time.time() - t0
+
+    # per-view residual tables + histogram (Generate_SfM_Report parity)
+    from regard3d_tpu.sfm.triangulate import reprojection_residuals_px
+    tid = np.asarray(inputs.track_id)
+    vid = np.asarray(inputs.view_id)
+    iid = np.asarray(inputs.intr_id)
+    r2 = np.asarray(reprojection_residuals_px(
+        result.R, result.C, result.intr, inputs.models,
+        jnp.asarray(iid[vid]), jnp.asarray(vid), jnp.asarray(tid),
+        result.X, inputs.xy))
+    live = (result.obs_active & result.track_ok[tid] & result.pose_mask[vid])
+    r = np.sqrt(r2[live])
+    vlive = vid[live]
+    V = len(images)
+    n_obs = np.bincount(vlive, minlength=V)
+    sums = np.bincount(vlive, weights=r, minlength=V)
+    views_rows = []
+    for v in range(V):
+        rv = r[vlive == v]
+        views_rows.append({
+            "id": v,
+            "name": image_names[v] if image_names else "",
+            "width": int(image_sizes[v, 0]),
+            "height": int(image_sizes[v, 1]),
+            "posed": bool(result.pose_mask[v]),
+            "n_obs": int(n_obs[v]),
+            "mean_px": float(sums[v] / n_obs[v]) if n_obs[v] else float("nan"),
+            "median_px": float(np.median(rv)) if len(rv) else float("nan"),
+        })
+    if len(r):
+        counts, edges = np.histogram(r, bins=20,
+                                     range=(0.0, max(4.0, float(r.max()))))
+        hist = (edges, counts)
+    else:
+        hist = None
     write_html_report(os.path.join(out_dir, "Reconstruction_Report.html"),
-                      stats, params)
+                      stats, params, views=views_rows, histogram=hist)
     return stats

@@ -241,3 +241,32 @@ def test_best_validated_pairs(tmp_path):
     assert abs(rows[0]["survival"] - 0.9) < 1e-9
     top = cm.best_validated_pairs(str(tmp_path), limit=1)
     assert len(top) == 1 and top[0]["geometric"] == 90
+
+
+def test_html_reports(tmp_path):
+    # Generate_SfM_Report parity: per-view table + residual histogram SVG;
+    # matching report: per-pair count tables.
+    from regard3d_tpu.pipeline import report
+    p = str(tmp_path / "recon.html")
+    report.write_html_report(
+        p, {"num_cameras": 3, "rms_px": 0.5, "order_added": [0, 1, 2]},
+        params={"engine": "incremental2"},
+        views=[{"id": 0, "name": "a.jpg", "width": 640, "height": 480,
+                "posed": True, "n_obs": 100, "mean_px": 0.4,
+                "median_px": 0.3},
+               {"id": 1, "name": "b.jpg", "width": 640, "height": 480,
+                "posed": False, "n_obs": 0, "mean_px": float("nan"),
+                "median_px": float("nan")}],
+        histogram=([0.0, 1.0, 2.0], [10, 3]))
+    html = open(p).read()
+    assert "a.jpg" in html and "<svg" in html and "0 &rarr; 1" in html
+    assert "incremental2" in html and "num_cameras" in html
+
+    m = str(tmp_path / "match.html")
+    report.write_matches_report(
+        m, {"num_pairs": 2},
+        [{"i": 0, "j": 1, "putative": 50, "geometric": 40,
+          "survival": 0.8}],
+        keypoint_counts=[100, 200], image_names=["a.jpg", "b.jpg"])
+    html = open(m).read()
+    assert "b.jpg" in html and "0.80" in html and "num_pairs" in html
