@@ -68,32 +68,40 @@ def select_sources(scene: Scene, num_sources: int,
     live = obs_m & lm_m[obs_l]
     obs_l, obs_v = obs_l[live], obs_v[live]
     views = _posed_views(scene)
-    vset = {v: i for i, v in enumerate(views)}
     nv = len(views)
+    compact = np.full(len(np.asarray(scene.views.mask)), -1, np.int64)
+    compact[views] = np.arange(nv)
+    Cv = C[pid[views]]                                 # (nv, 3) centers
 
-    # landmark -> views incidence; pair co-visibility counts + mean angles
+    # drop observations of unposed views, sort by landmark
+    cidx_all = compact[obs_v]
+    keep = cidx_all >= 0
+    obs_l, cidx = obs_l[keep], cidx_all[keep]
     order = np.argsort(obs_l, kind="stable")
-    obs_l, obs_v = obs_l[order], obs_v[order]
+    obs_l, cidx = obs_l[order], cidx[order]
+
+    # pair co-visibility scores, vectorized: within each landmark segment
+    # enumerate view pairs as (row, row+d) offsets — total work
+    # sum_l k_l^2 with no per-landmark Python loop (city-scale safe)
     score = np.zeros((nv, nv))
-    starts = np.searchsorted(obs_l, np.unique(obs_l))
-    bounds = np.append(starts, len(obs_l))
-    uniq = np.unique(obs_l)
-    for i, lm in enumerate(uniq):
-        vs = [vset[v] for v in obs_v[bounds[i]:bounds[i + 1]] if v in vset]
-        if len(vs) < 2:
-            continue
-        X = lm_X[lm]
-        for a in range(len(vs)):
-            for b in range(a + 1, len(vs)):
-                va, vb = vs[a], vs[b]
-                r1 = C[pid[views[va]]] - X
-                r2 = C[pid[views[vb]]] - X
-                cosang = np.dot(r1, r2) / max(
-                    np.linalg.norm(r1) * np.linalg.norm(r2), 1e-12)
-                ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
-                w = min(ang / min_angle_deg, 1.0)  # down-weight tiny baselines
-                score[va, vb] += w
-                score[vb, va] += w
+    if len(obs_l):
+        max_k = int(np.bincount(obs_l).max())
+        for d in range(1, max_k):
+            sel = np.nonzero(obs_l[:-d] == obs_l[d:])[0] if d < len(obs_l) \
+                else np.zeros(0, np.int64)
+            if len(sel) == 0:
+                continue
+            a, b = cidx[sel], cidx[sel + d]
+            X = lm_X[obs_l[sel]]
+            r1 = Cv[a] - X
+            r2 = Cv[b] - X
+            denom = np.maximum(np.linalg.norm(r1, axis=1)
+                               * np.linalg.norm(r2, axis=1), 1e-12)
+            cosang = np.clip(np.sum(r1 * r2, 1) / denom, -1.0, 1.0)
+            ang = np.degrees(np.arccos(cosang))
+            w = np.minimum(ang / min_angle_deg, 1.0)   # tiny baselines down
+            np.add.at(score, (a, b), w)
+            np.add.at(score, (b, a), w)
 
     out = {}
     for i, v in enumerate(views):

@@ -408,7 +408,58 @@ def run_incremental(inputs: SfMInputs,
         tri = triangulate_all(R, C, jnp.asarray(pose_mask),
                               jnp.asarray(obs_active), intr)
         X = tri.X
-        track_ok = np.asarray(tri.ok)
+        track_ok = np.array(tri.ok)      # writable: patched per-view below
+
+    # --- incremental (touched-tracks-only) retriangulation -----------------
+    # adding one view only changes the normal equations of the tracks it
+    # observes; re-solving just those keeps the per-view cost O(local)
+    # instead of O(scene) (city-scale requirement).  CSR track->obs rows:
+    tid_host = np.asarray(inputs.track_id)
+    vid_host = np.asarray(inputs.view_id)
+    _order_t = np.argsort(tid_host, kind="stable")
+    _t_starts = np.searchsorted(tid_host[_order_t], np.arange(T + 1))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("t_cap",))
+    def _triangulate_subset(R, C, pmask, oactive, intr, rows, rmask,
+                            stid, t_cap):
+        xy = inputs.xy[rows]
+        v = vid[rows]
+        k = iid[v]
+        b = cameras.bearing(inputs.models[k], intr[k], xy)
+        act = oactive[rows] & rmask
+        return triangulate_tracks(R, C, pmask, stid, v, act, b, t_cap,
+                                  cfg.min_angle_deg, cfg.max_err_px,
+                                  mean_focal)
+
+    def retriangulate_tracks(track_ids):
+        """Re-solve only the given tracks; scatter X / track_ok back."""
+        nonlocal X, track_ok
+        t = np.unique(np.asarray(track_ids))
+        if len(t) == 0:
+            return
+        starts = _t_starts[t]
+        lens = _t_starts[t + 1] - starts
+        csum = np.concatenate([[0], np.cumsum(lens)])
+        n_rows = int(csum[-1])
+        rows = _order_t[np.repeat(starts - csum[:-1], lens)
+                        + np.arange(n_rows)]
+        stid = np.searchsorted(t, tid_host[rows])
+        o_cap = max(64, 1 << int(np.ceil(np.log2(max(n_rows, 1)))))
+        t_cap = max(64, 1 << int(np.ceil(np.log2(max(len(t), 1)))))
+        rows_p = np.zeros(o_cap, np.int32)
+        rows_p[:n_rows] = rows
+        stid_p = np.zeros(o_cap, np.int32)
+        stid_p[:n_rows] = stid
+        rmask = np.zeros(o_cap, bool)
+        rmask[:n_rows] = True
+        tri = _triangulate_subset(R, C, jnp.asarray(pose_mask),
+                                  jnp.asarray(obs_active), intr,
+                                  jnp.asarray(rows_p), jnp.asarray(rmask),
+                                  jnp.asarray(stid_p), t_cap)
+        X = X.at[jnp.asarray(t)].set(tri.X[:len(t)])
+        track_ok[t] = np.asarray(tri.ok)[:len(t)]
 
     retriangulate()
 
@@ -492,7 +543,9 @@ def run_incremental(inputs: SfMInputs,
         out_rows = rows[~np.asarray(rr.inliers)[:n]]
         obs_active[out_rows] = False
 
-        retriangulate()
+        # only the tracks seen by the new view changed (including ones the
+        # extra ray may now make triangulable)
+        retriangulate_tracks(tid_np[vid_np == v])
         added_since_ba += 1
         if added_since_ba >= cfg.ba_every:
             run_ba(cfg.ba_iterations, False)

@@ -252,3 +252,43 @@ def test_fusion_rejects_inconsistent_depth(rng):
         jnp.asarray([[0.0, 0.0, 0.0]]), jnp.ones((1,), bool),
         tol=0.01, min_consistent=1)
     assert np.asarray(accept2).mean() > 0.9
+
+
+def test_select_sources_vectorized_equivalence(rng):
+    # the offset-pair enumeration must reproduce the per-landmark
+    # triple-loop definition exactly
+    sc = _scene_from_render(render_scene(rng, n_cams=4, hw=128, f=165.0),
+                            n_lm=120)
+    srcs = driver.select_sources(sc, num_sources=4)
+    # reference: triple loop
+    import numpy as np
+    obs_l = np.asarray(sc.observations.landmark_id)
+    obs_v = np.asarray(sc.observations.view_id)
+    obs_m = np.asarray(sc.observations.mask)
+    lm_X = np.asarray(sc.landmarks.X)
+    lm_m = np.asarray(sc.landmarks.mask)
+    pid = np.asarray(sc.views.pose_id)
+    C = np.asarray(sc.poses.C)
+    live = obs_m & lm_m[obs_l]
+    views = driver._posed_views(sc)
+    vset = {v: i for i, v in enumerate(views)}
+    nv = len(views)
+    score = np.zeros((nv, nv))
+    for lm in np.unique(obs_l[live]):
+        vs = sorted(vset[v] for v in obs_v[live & (obs_l == lm)]
+                    if v in vset)
+        X = lm_X[lm]
+        for a in range(len(vs)):
+            for b in range(a + 1, len(vs)):
+                r1 = C[pid[views[vs[a]]]] - X
+                r2 = C[pid[views[vs[b]]]] - X
+                cosang = np.dot(r1, r2) / max(
+                    np.linalg.norm(r1) * np.linalg.norm(r2), 1e-12)
+                ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+                w = min(ang / 2.0, 1.0)
+                score[vs[a], vs[b]] += w
+                score[vs[b], vs[a]] += w
+    for i, v in enumerate(views):
+        ranked = np.argsort(-score[i])
+        expect = [views[j] for j in ranked if score[i, j] > 0][:4]
+        assert set(srcs[v]) == set(expect), (v, srcs[v], expect)
