@@ -101,6 +101,23 @@ def run_ba_bench(extra_args, timeout=1200):
     return None
 
 
+def run_features_bench(timeout=1500):
+    """bench_features.py in a subprocess (features + RANSAC throughput on
+    the live backend). Returns the parsed JSON dict or None."""
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_features.py"), "--reps", "6"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
     pairs_per_s = measure_tpu_matching()
     cpu_ref = measure_cpu_reference()
@@ -109,6 +126,7 @@ def main():
                         "--obs-per-pt", "12"])
     ba8 = run_ba_bench(["--mesh", "8", "--cams", "100", "--pts", "10000",
                         "--obs-per-pt", "8"])
+    fb = run_features_bench()
 
     print(json.dumps({
         "metric": "matched_pairs_per_s_per_chip",
@@ -122,6 +140,9 @@ def main():
             "ba_1dev_backend": ba1 and ba1.get("backend"),
             "ba_lm_iters_per_s_mesh8": ba8 and ba8.get("value"),
             "ba_mesh8_detail": ba8 and ba8.get("unit"),
+            "features_imgs_per_s": fb and fb.get("features_imgs_per_s"),
+            "ransac_pairs_per_s": fb and fb.get("ransac_pairs_per_s"),
+            "features_backend": fb and fb.get("backend"),
         },
     }))
 

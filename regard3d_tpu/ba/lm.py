@@ -122,12 +122,16 @@ def compute_cost(state: BAState, obs: BAObservations,
                  opts: BAOptions) -> jnp.ndarray:
     r = compute_residuals(state, obs)
     r2 = jnp.sum(r * r, -1)
+    # rows behind the camera / at zero depth project to non-finite values;
+    # treat them as a huge-but-finite cost so LM rejects the step instead
+    # of the whole reduction becoming NaN (and NaN*0 poisoning masked rows)
+    r2 = jnp.where(jnp.isfinite(r2), r2, 1e12)
     if opts.huber_delta_px > 0:
         d = opts.huber_delta_px
         rho = jnp.where(r2 <= d * d, r2, 2.0 * d * jnp.sqrt(r2) - d * d)
     else:
         rho = r2
-    return jnp.sum(rho * obs.weight)
+    return jnp.sum(jnp.where(obs.weight > 0, rho * obs.weight, 0.0))
 
 
 def _irls_weights(r2, opts: BAOptions):
@@ -150,8 +154,16 @@ def _build_blocks(state: BAState, obs: BAObservations, opts: BAOptions):
     Jw, JC, JX, Jintr = _jac_res(z3, z3, z3, z9, R0, C0, intr0, obs.model,
                                  X0, obs.xy)
     A = jnp.concatenate([Jw, JC], -1)           # (O, 2, 6)
+    # masked rows (weight 0) and degenerate live rows (zero/negative depth
+    # -> non-finite projection) must contribute exact zeros: a NaN row
+    # times weight 0 would otherwise poison every segment reduction
+    live = obs.weight > 0
+    r = jnp.where(live[:, None] & jnp.isfinite(r), r, 0.0)
+    A = jnp.where(live[:, None, None] & jnp.isfinite(A), A, 0.0)
+    B = jnp.where(live[:, None, None] & jnp.isfinite(JX), JX, 0.0)
+    Ji = jnp.where(live[:, None, None] & jnp.isfinite(Jintr), Jintr, 0.0)
     w = obs.weight * _irls_weights(jnp.sum(r * r, -1), opts)
-    return r, A, JX, Jintr, w
+    return r, A, B, Ji, w
 
 
 class _Normal(NamedTuple):

@@ -150,13 +150,21 @@ def extract_features(images: Sequence[np.ndarray], out_dir: str,
                      kp_size_factor: Optional[float] = None,
                      force: bool = False,
                      detector: str = "fast-akaze",
-                     progress=None) -> List[int]:
+                     progress=None, mesh=None) -> List[int]:
     """Detect + describe every image; write artifacts; return keypoint
-    counts. Cached images are skipped (resume semantics)."""
+    counts. Cached images are skipped (resume semantics).
+
+    With several devices visible, image buckets shard their batch dimension
+    over an ``images`` mesh axis (P1 image-batch data parallelism,
+    SURVEY.md §2.3 — the TPU replacement for the reference's nCPU+1 worker
+    pool, src/threads/R3DFeaturesThread.cpp:58-77)."""
     os.makedirs(out_dir, exist_ok=True)
     detector = canonical_detector(detector)
     if kp_size_factor is None:
         kp_size_factor = detector_kp_size_factor(detector)
+    if mesh is None and len(jax.devices()) > 1:
+        from regard3d_tpu.dist import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh("images")
     todo = [i for i in range(len(images))
             if force or not has_features(out_dir, i)]
     counts = [0] * len(images)
@@ -213,14 +221,37 @@ def extract_features(images: Sequence[np.ndarray], out_dir: str,
                                    jnp.asarray(size), jnp.asarray(angle),
                                    jnp.asarray(mask))
 
+        def shard_batch(data, widths, heights):
+            """Pad the batch dim to the mesh size and shard it over the
+            ``images`` axis; returns device arrays (or plain host arrays in
+            single-device mode)."""
+            if mesh is None:
+                return (jnp.asarray(data), jnp.asarray(widths),
+                        jnp.asarray(heights))
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = mesh.devices.size
+            B = data.shape[0]
+            pad = (-B) % n_dev
+            if pad:
+                data = np.concatenate(
+                    [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+                widths = np.concatenate([widths, np.ones(pad, widths.dtype)])
+                heights = np.concatenate(
+                    [heights, np.ones(pad, heights.dtype)])
+            axis = mesh.axis_names[0]
+            sh = NamedSharding(mesh, P(axis))
+            return (jax.device_put(jnp.asarray(data), sh),
+                    jax.device_put(jnp.asarray(widths), sh),
+                    jax.device_put(jnp.asarray(heights), sh))
+
         done = 0
         for b in buckets:
             if detector in HOST_DETECTORS:
                 kps, descs = run_host_bucket(b)
             else:
-                kps, descs = run_bucket(jnp.asarray(b.data),
-                                        jnp.asarray(b.true_sizes[:, 0]),
-                                        jnp.asarray(b.true_sizes[:, 1]))
+                data, widths, heights = shard_batch(
+                    b.data, b.true_sizes[:, 0], b.true_sizes[:, 1])
+                kps, descs = run_bucket(data, widths, heights)
             kps_np = jax.tree_util.tree_map(np.asarray, kps)
             d_np = np.asarray(descs.data)
             for bi, orig_local in enumerate(b.indices):

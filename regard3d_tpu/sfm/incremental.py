@@ -87,31 +87,70 @@ def _normalized_xy(inputs: SfMInputs, intr) -> jnp.ndarray:
     return b[:, :2] / b[:, 2:]
 
 
-def select_initial_pair(inputs: SfMInputs, table: tracks_mod.TrackTable,
-                        key, cfg: IncrementalConfig,
-                        num_views: int) -> Optional[Tuple[int, int]]:
-    """MaxPair-style auto initializer: try the pairs with the most shared
-    tracks, keep the first that yields a well-conditioned relative pose
-    (enough E-inliers). ~ SfMSceneInitializerMaxPair parity."""
+def rank_initial_pairs(inputs: SfMInputs, table: tracks_mod.TrackTable,
+                       key, cfg: IncrementalConfig,
+                       num_views: int) -> List[Tuple[int, int]]:
+    """Candidate initial pairs in preference order: most shared tracks
+    first, pairs with enough E-inliers, homography-degenerate (planar /
+    pure-rotation) pairs demoted to the back.
+    ~ SfMSceneInitializerMaxPair parity."""
     cand, counts = tracks_mod.covisibility_pairs(table, num_views,
                                                  min_count=30)
     pairs = [(int(c), int(i), int(j)) for c, (i, j) in zip(counts, cand)]
     xn = np.asarray(_normalized_xy(inputs, inputs.intr))
-    fallback = None
+    good, planar = [], []
     for rank, (cnt, i, j) in enumerate(pairs[:10]):
         res = _two_view_geometry(inputs, xn, i, j, key, cfg)
         if res is None or int(res[3]) < cfg.min_initial_inliers:
             continue
         if _pair_is_planar(inputs, xn, i, j, key, cfg):
-            # homography-degenerate pair: E is ill-conditioned — keep
-            # looking (OpenMVG's initializers avoid H-dominant pairs too)
-            if fallback is None:
-                fallback = (i, j)
+            planar.append((i, j))
             continue
-        return i, j
-    if fallback is not None:
-        return fallback
-    return pairs[0][1:] if pairs else None
+        good.append((i, j))
+    out = good + planar
+    if not out and pairs:
+        out = [pairs[0][1:]]
+    return out
+
+
+def select_initial_pair(inputs: SfMInputs, table: tracks_mod.TrackTable,
+                        key, cfg: IncrementalConfig,
+                        num_views: int) -> Optional[Tuple[int, int]]:
+    ranked = rank_initial_pairs(inputs, table, key, cfg, num_views)
+    return ranked[0] if ranked else None
+
+
+def _relative_pose(inputs: SfMInputs, xn, i: int, j: int, key, cfg,
+                   attempts: int = 4, min_valid_frac: float = 0.7):
+    """Robust relative pose for a pair: ACRANSAC E + decomposition, with a
+    cheirality acceptance gate.  An E model can score well a-contrario yet
+    decompose into a twisted pose where only ~half the inliers sit in
+    front of both cameras — such draws are retried with fresh randomness
+    (OpenMVG's RelativePose does full cheirality-checked estimation).
+
+    Returns (Rrel, trel, oi, oj, inl) with view j's pose in i's frame, or
+    None."""
+    best = None
+    for _ in range(attempts):
+        key, k = jax.random.split(key)
+        two = _two_view_geometry(inputs, xn, i, j, k, cfg)
+        if two is None:
+            continue
+        E, (oi, oj, inl_pad, n_pair), _, n_inl = two
+        inl = np.asarray(inl_pad)[:n_pair]
+        x1 = jnp.asarray(xn[oi[inl]])
+        x2 = jnp.asarray(xn[oj[inl]])
+        Rrel, trel, nval = geometry.decompose_essential(E[None], x1[None],
+                                                        x2[None])
+        frac = float(np.asarray(nval)[0]) / max(int(n_inl), 1)
+        cand = (frac, np.asarray(Rrel[0]), np.asarray(trel[0]), oi, oj, inl)
+        if best is None or frac > best[0]:
+            best = cand
+        if frac >= min_valid_frac:
+            break
+    if best is None or best[0] < min_valid_frac:
+        return None
+    return best[1:]
 
 
 def _pair_is_planar(inputs, xn, i, j, key, cfg,
@@ -218,18 +257,19 @@ def _stellar_seed(inputs: SfMInputs, table: tracks_mod.TrackTable,
             break
         key, k = jax.random.split(key)
         i, j = min(hub, v), max(hub, v)
-        two = _two_view_geometry(inputs, xn, i, j, k, cfg)
-        if two is None or int(two[3]) < cfg.min_initial_inliers:
+        if _pair_is_planar(inputs, xn, i, j, k, cfg):
+            # H-degenerate hub edge: its E decomposition is unreliable and
+            # would poison the pod's scale graph — leave the view to the
+            # resection stage instead
             continue
-        E, (oi, oj, inl_pad, n_pair), _, _ = two
-        inl = np.asarray(inl_pad)[:n_pair]
-        # decompose in the estimation frame (view i at identity): pose of j
-        # is x_j = Rrel (X - Cj') with Cj' = -Rrel^T trel
-        Rrel, trel, _ = geometry.decompose_essential(
-            E[None], jnp.asarray(xn[oi[inl]])[None],
-            jnp.asarray(xn[oj[inl]])[None])
-        Rrel = np.asarray(Rrel[0])
-        trel = np.asarray(trel[0])
+        rel = _relative_pose(inputs, xn, i, j, k, cfg)
+        if rel is None:
+            continue
+        # estimation frame: view i at identity; pose of j is
+        # x_j = Rrel (X - Cj') with Cj' = -Rrel^T trel
+        Rrel, trel, oi, oj, inl = rel
+        if int(inl.sum()) < cfg.min_initial_inliers:
+            continue
         if hub == i:
             Rj, Cj = Rrel, -Rrel.T @ trel            # v's pose in hub frame
             oh, ov = oi, oj
@@ -358,26 +398,27 @@ def run_incremental(inputs: SfMInputs,
             obs_active[deact] = False
             pod_size = len(poses)
     if pod_size == 0:
-        if initial_pair is None:
-            initial_pair = select_initial_pair(inputs, table, key, cfg, V)
-            if initial_pair is None:
+        if initial_pair is not None:
+            candidates = [tuple(initial_pair)]
+        else:
+            candidates = rank_initial_pairs(inputs, table, key, cfg, V)
+            if not candidates:
                 raise ValueError("no viable initial pair")
-        i0, j0 = initial_pair
-
-        key, k1 = jax.random.split(key)
-        two = _two_view_geometry(inputs, xn, i0, j0, k1, cfg)
-        if two is None:
+        rel = None
+        for (ci, cj) in candidates:
+            key, k1 = jax.random.split(key)
+            rel = _relative_pose(inputs, xn, ci, cj, k1, cfg)
+            if rel is not None:
+                i0, j0 = ci, cj
+                break
+        if rel is None:
             raise ValueError(
-                f"initial pair {initial_pair} failed E estimation")
-        E, (oi, oj, inl_pad, n_pair), x1pad, n_inl = two
-        inl = np.asarray(inl_pad)[:n_pair]
+                f"no initial pair with a cheirality-consistent pose "
+                f"(tried {candidates})")
+        Rrel, trel, oi, oj, inl = rel
 
-        x1 = jnp.asarray(xn[oi[inl]])
-        x2 = jnp.asarray(xn[oj[inl]])
-        Rrel, trel, _ = geometry.decompose_essential(E[None], x1[None],
-                                                     x2[None])
-        R = R.at[j0].set(Rrel[0])
-        C = C.at[j0].set(-jnp.einsum("ji,j->i", Rrel[0], trel[0]))
+        R = R.at[j0].set(jnp.asarray(Rrel, dtype))
+        C = C.at[j0].set(jnp.asarray(-Rrel.T @ trel, dtype))
         pose_mask[[i0, j0]] = True
 
         # deactivate pair observations that failed the E filter

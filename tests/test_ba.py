@@ -241,3 +241,25 @@ def test_ba_cg_tol_early_stop_matches_full(rng):
         state, obs, lm.BAOptions(max_iterations=10, cg_tol=1e-6),
         fixed_pose_mask=fixed)
     assert abs(rms_px(out_a, obs) - rms_px(out_b, obs)) < 0.05
+
+
+def test_ba_degenerate_masked_rows_do_not_poison(rng):
+    # a zero-weight observation of a point sitting AT a camera center
+    # (zero depth -> non-finite projection) must not NaN-poison the cost
+    # or the normal equations (this killed incremental SfM on scenes with
+    # untriangulated tracks at the origin)
+    state, gt, obs = synth_ba_problem(rng, n_cams=4, n_pts=50)
+    X = np.array(state.X)
+    X[0] = np.asarray(state.C)[0]          # exactly at camera 0's center
+    state = state._replace(X=jnp.asarray(X, jnp.float32))
+    w = np.array(obs.weight)
+    w[np.asarray(obs.point_id) == 0] = 0.0
+    obs = obs._replace(weight=jnp.asarray(w, jnp.float32))
+    cost = lm.compute_cost(state, obs, lm.BAOptions())
+    assert np.isfinite(float(cost))
+    fixed = jnp.zeros((4,), bool).at[0].set(True)
+    out, stats = lm.bundle_adjust(state, obs,
+                                  lm.BAOptions(max_iterations=5),
+                                  fixed_pose_mask=fixed)
+    assert np.isfinite(float(stats.final_cost))
+    assert float(stats.final_cost) <= float(stats.initial_cost)

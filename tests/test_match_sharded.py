@@ -138,3 +138,27 @@ def test_sharded_matching_throughput(rng):
         n = len(out)
         print(f"mesh={'8dev' if mesh else '1dev'}: "
               f"{n / dt:.1f} matched pairs/s")
+
+
+def test_feature_extraction_image_sharding(tmp_path, rng):
+    # P1 image-batch DP: sharding the bucket batch dim over an `images`
+    # mesh must reproduce the single-device features exactly
+    import jax
+    from jax.sharding import Mesh
+    from regard3d_tpu.pipeline import features as fm
+
+    imgs = [rng.uniform(0, 1, size=(192, 256)).astype(np.float32)
+            for _ in range(5)]
+    d1 = str(tmp_path / "one")
+    d8 = str(tmp_path / "eight")
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("images",))
+    mesh8 = Mesh(np.asarray(jax.devices()), ("images",))
+    c1 = fm.extract_features(imgs, d1, mesh=mesh1)
+    c8 = fm.extract_features(imgs, d8, mesh=mesh8)
+    assert c1 == c8
+    for i in range(5):
+        xy1, s1, a1, de1 = fm.load_features(d1, i)
+        xy8, s8, a8, de8 = fm.load_features(d8, i)
+        # partitioned compilation reorders float ops: ULP-level slack
+        np.testing.assert_allclose(xy1, xy8, atol=2e-3)
+        np.testing.assert_allclose(de1, de8, atol=1e-4)
