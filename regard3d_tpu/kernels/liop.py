@@ -164,11 +164,15 @@ def warp_patches(img, xy, size, angle, kp_size_factor: float = 8.0):
     wx = sx - x0
     wy = sy - y0
 
+    # flat 1-D indexing: measurably faster than 2-D fancy indexing on TPU
+    # (one gather dimension instead of two); results are identical
+    flat = img.reshape(-1)
+
     def tap(xi, yi):
         ok = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
         yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        return jnp.where(ok, img[yi, xi], 0.0)
+        return jnp.where(ok, flat[yi * W + xi], 0.0)
 
     val = ((1 - wx) * (1 - wy) * tap(x0, y0)
            + wx * (1 - wy) * tap(x0 + 1, y0)
