@@ -93,6 +93,9 @@ def main():
         raise SystemExit(
             f"--mesh {args.mesh} needs {args.mesh} devices, "
             f"have {len(jax.devices())} on {jax.default_backend()}")
+    # production config: geometry/BA math runs f32 matmuls, not the TPU
+    # bf16 default (same setting the CLI applies)
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     from regard3d_tpu.ba import lm
 

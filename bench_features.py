@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     import jax
+    # production config (matches the CLI): f32 matmuls/convs
+    jax.config.update("jax_default_matmul_precision", "highest")
     feats = bench_features(reps=args.reps)
     rans = bench_ransac(reps=max(args.reps // 2, 2))
     print(json.dumps({

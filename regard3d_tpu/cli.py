@@ -93,6 +93,34 @@ def _load_pictureset(p, ps_id=None):
     return ps, infos, images
 
 
+def _pick(p, kind, obj_id=None):
+    """Select a pipeline object: explicit id, else the last finished one
+    (the GUI lets any tree node be selected; --id is the CLI equivalent)."""
+    if obj_id is not None:
+        o = p.objects.get(obj_id)
+        if o is None or o.kind != kind:
+            raise SystemExit(f"no {kind} object with id {obj_id}")
+        return o
+    objs = [o for o in p.objects.values() if o.kind == kind
+            and o.state == "finished"]
+    if not objs:
+        raise SystemExit(f"no finished {kind} step")
+    return objs[-1]
+
+
+def cmd_delete(args):
+    """Delete a pipeline object and its whole subtree (the GUI's
+    delete-object action; files under the step dirs are removed)."""
+    from regard3d_tpu.pipeline.project import Project
+    p = Project.load(args.project)
+    if args.id not in p.objects:
+        raise SystemExit(f"no object with id {args.id}")
+    kind = p.objects[args.id].kind
+    p.remove(args.id, delete_files=not args.keep_files)
+    p.save()
+    print(f"deleted {kind} [{args.id}] and its subtree")
+
+
 def cmd_matches(args):
     from regard3d_tpu.pipeline import compute_matches as cm
     from regard3d_tpu.pipeline.features import SENSITIVITY_PRESETS
@@ -129,11 +157,7 @@ def cmd_sfm(args):
         import jax
         jax.config.update("jax_enable_x64", True)
     p = Project.load(args.project)
-    m_objs = [o for o in p.objects.values() if o.kind == "matches"
-              and o.state == "finished"]
-    if not m_objs:
-        raise SystemExit("no finished compute-matches step")
-    mobj = m_objs[-1]
+    mobj = _pick(p, "matches", args.id)
     ps, infos, images = _load_pictureset(p, mobj.parent_id)
 
     model_code = CAMERA_MODEL_CODES[args.camera_model]
@@ -191,11 +215,7 @@ def cmd_export(args):
     from regard3d_tpu.ingest import image_io
     from regard3d_tpu.pipeline.project import Project
     p = Project.load(args.project)
-    t_objs = [o for o in p.objects.values() if o.kind == "triangulation"
-              and o.state == "finished"]
-    if not t_objs:
-        raise SystemExit("no finished triangulation")
-    tobj = t_objs[-1]
+    tobj = _pick(p, "triangulation", args.id)
     scene = sfm_data.load_npz(p.paths(tobj.id).scene_npz)
     ps, infos, _ = _load_pictureset(
         p, p.objects[tobj.parent_id].parent_id)
@@ -237,11 +257,7 @@ def cmd_densify(args):
     from regard3d_tpu.pipeline import external
     from regard3d_tpu.pipeline.project import Project
     p = Project.load(args.project)
-    t_objs = [o for o in p.objects.values() if o.kind == "triangulation"
-              and o.state == "finished"]
-    if not t_objs:
-        raise SystemExit("no finished triangulation")
-    tobj = t_objs[-1]
+    tobj = _pick(p, "triangulation", args.id)
     obj = p.add_densification(tobj.id, _params(args))
     out_dir = p.prepare(obj.id)
     t0 = time.time()
@@ -258,11 +274,7 @@ def cmd_surface(args):
     from regard3d_tpu.pipeline import external
     from regard3d_tpu.pipeline.project import Project
     p = Project.load(args.project)
-    d_objs = [o for o in p.objects.values() if o.kind == "densification"
-              and o.state == "finished"]
-    if not d_objs:
-        raise SystemExit("no finished densification")
-    dobj = d_objs[-1]
+    dobj = _pick(p, "densification", args.id)
     obj = p.add_surface(dobj.id, _params(args))
     out_dir = p.prepare(obj.id)
     t0 = time.time()
@@ -283,11 +295,7 @@ def cmd_preview(args):
     from regard3d_tpu.pipeline import features as fm, preview
     from regard3d_tpu.pipeline.project import Project
     p = Project.load(args.project)
-    m_objs = [o for o in p.objects.values() if o.kind == "matches"
-              and o.state == "finished"]
-    if not m_objs:
-        raise SystemExit("no finished compute-matches step")
-    mobj = m_objs[-1]
+    mobj = _pick(p, "matches", args.id)
     ps, infos, images = _load_pictureset(p, mobj.parent_id)
     mdir = p.paths(mobj.id).matches_dir
     out = args.out or os.path.join(p.project_dir, "previews")
@@ -324,11 +332,7 @@ def cmd_pairs(args):
     from regard3d_tpu.pipeline import compute_matches as cm
     from regard3d_tpu.pipeline.project import Project
     p = Project.load(args.project)
-    m_objs = [o for o in p.objects.values() if o.kind == "matches"
-              and o.state == "finished"]
-    if not m_objs:
-        raise SystemExit("no finished compute-matches step")
-    mobj = m_objs[-1]
+    mobj = _pick(p, "matches", args.id)
     ps = p.objects[mobj.parent_id]
     names = [os.path.basename(i["path"])
              for i in ps.params.get("image_info", [])]
@@ -458,6 +462,8 @@ def build_parser():
 
     s = sub.add_parser("sfm")
     s.add_argument("project")
+    s.add_argument("--id", type=int, default=None,
+                   help="explicit parent step id (default: last finished)")
     s.add_argument("--engine", default="incremental2",
                    choices=["incremental", "incremental2", "global"])
     s.add_argument("--initial-pair", default=None,
@@ -483,6 +489,8 @@ def build_parser():
 
     s = sub.add_parser("export")
     s.add_argument("project")
+    s.add_argument("--id", type=int, default=None,
+                   help="explicit parent step id (default: last finished)")
     s.add_argument("--format", required=True,
                    choices=["bundler", "pmvs", "nvm", "meshlab", "mve",
                             "openmvs", "sfmoutput", "externalmvs",
@@ -492,6 +500,8 @@ def build_parser():
 
     s = sub.add_parser("densify")
     s.add_argument("project")
+    s.add_argument("--id", type=int, default=None,
+                   help="explicit parent step id (default: last finished)")
     s.add_argument("--method", default="pmvs",
                    choices=["pmvs", "mve", "smvs", "tpu"])
     s.add_argument("--level", type=int, default=1)
@@ -521,6 +531,8 @@ def build_parser():
 
     s = sub.add_parser("surface")
     s.add_argument("project")
+    s.add_argument("--id", type=int, default=None,
+                   help="explicit parent step id (default: last finished)")
     s.add_argument("--method", default="poisson",
                    choices=["poisson", "fssr", "tpu"])
     s.add_argument("--depth", type=int, default=9)
@@ -559,8 +571,16 @@ def build_parser():
     s.add_argument("project")
     s.set_defaults(fn=cmd_info)
 
+    s = sub.add_parser("delete")
+    s.add_argument("project")
+    s.add_argument("id", type=int)
+    s.add_argument("--keep-files", action="store_true")
+    s.set_defaults(fn=cmd_delete)
+
     s = sub.add_parser("preview")
     s.add_argument("project")
+    s.add_argument("--id", type=int, default=None,
+                   help="explicit parent step id (default: last finished)")
     s.add_argument("--view", type=int, default=0)
     s.add_argument("--pair", default=None, help="view ids 'a,b'")
     s.add_argument("--kind", default="putative",
@@ -579,6 +599,8 @@ def build_parser():
 
     s = sub.add_parser("pairs")
     s.add_argument("project")
+    s.add_argument("--id", type=int, default=None,
+                   help="explicit parent step id (default: last finished)")
     s.add_argument("--kind", default="f", choices=["putative", "f", "e", "h"])
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--json", action="store_true")
@@ -600,6 +622,11 @@ def build_parser():
 
 
 def main(argv=None):
+    import jax
+    # geometry/BA correctness: f32 matmuls everywhere (the TPU default is
+    # bf16, which corrupts RANSAC normal equations and Schur products);
+    # the matcher's fast presets cast to bf16 explicitly and stay fast
+    jax.config.update("jax_default_matmul_precision", "highest")
     from regard3d_tpu.dist import launch as launch_mod
     launch_mod.init_from_env()    # join a multi-process job when launched
     args = build_parser().parse_args(argv)

@@ -177,35 +177,31 @@ def compute_relative_motions(inputs: inc.SfMInputs,
                              table: tracks_mod.TrackTable,
                              cfg: GlobalConfig, key,
                              num_views: int) -> List[RelativeMotion]:
-    """Robust E per co-visible pair -> relative rotation + direction."""
-    counts = tracks_mod.shared_track_count(table, num_views)
+    """Robust E per co-visible pair -> relative rotation + direction.
+
+    Pairs come from the sparse co-visibility table (no (V, V) matrix), and
+    each pose passes the cheirality acceptance gate of
+    ``incremental._relative_pose`` (a twisted E decomposition would inject
+    an outlier edge into the averaging problems)."""
+    pairs, _ = tracks_mod.covisibility_pairs(table, num_views,
+                                             min_count=cfg.min_pair_inliers)
     xn = np.asarray(inc._normalized_xy(inputs, inputs.intr))
     motions = []
-    for i in range(num_views):
-        for j in range(i + 1, num_views):
-            if counts[i, j] < cfg.min_pair_inliers:
-                continue
-            key, k = jax.random.split(key)
-            res = inc._two_view_geometry(inputs, xn, i, j, k,
-                                         _cfg_for_pairs(cfg))
-            if res is None:
-                continue
-            E, (oi, oj, inl_pad, n), _, n_inl = res
-            if int(n_inl) < cfg.min_pair_inliers:
-                continue
-            inl = np.asarray(inl_pad)[:n]
-            x1 = jnp.asarray(xn[oi[inl]])
-            x2 = jnp.asarray(xn[oj[inl]])
-            Rrel, trel, _ = geometry.decompose_essential(
-                E[None], x1[None], x2[None])
-            R_ij = np.asarray(Rrel[0])
-            # C_j in cam-i frame: -R^T t; direction of C_j - C_i in cam-i
-            Cj_i = -R_ij.T @ np.asarray(trel[0])
-            nrm = np.linalg.norm(Cj_i)
-            if nrm < 1e-9:
-                continue
-            motions.append(RelativeMotion(i, j, R_ij, Cj_i / nrm,
-                                          int(n_inl), oi[inl], oj[inl]))
+    for i, j in ((int(a), int(b)) for a, b in pairs):
+        key, k = jax.random.split(key)
+        rel = inc._relative_pose(inputs, xn, i, j, k, _cfg_for_pairs(cfg))
+        if rel is None:
+            continue
+        R_ij, trel, oi, oj, inl = rel
+        if int(inl.sum()) < cfg.min_pair_inliers:
+            continue
+        # C_j in cam-i frame: -R^T t; direction of C_j - C_i in cam-i
+        Cj_i = -R_ij.T @ trel
+        nrm = np.linalg.norm(Cj_i)
+        if nrm < 1e-9:
+            continue
+        motions.append(RelativeMotion(i, j, R_ij, Cj_i / nrm,
+                                      int(inl.sum()), oi[inl], oj[inl]))
     return motions
 
 
