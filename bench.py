@@ -25,6 +25,18 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    """Force device completion: fetch a scalar that depends on the result.
+    (On the axon tunnel backend ``block_until_ready`` returns immediately,
+    so timing loops must synchronize through a host fetch; execution is
+    in-order, so fetching the LAST result fences all queued work.)"""
+    import jax
+    leaves = jax.tree_util.tree_leaves(x)
+    import numpy as _np
+    for leaf in leaves[-1:]:
+        _np.asarray(jax.numpy.ravel(leaf)[0])
+
+
 def measure_cpu_reference(M=4096, N=4096, D=256, reps=3):
     """Measured host-CPU brute-force matcher throughput (pairs/s): BLAS
     sgemm distance matrix + per-row top-2 + ratio test in NumPy."""
@@ -49,39 +61,35 @@ def measure_cpu_reference(M=4096, N=4096, D=256, reps=3):
     return reps / (time.time() - t0)
 
 
-def measure_tpu_matching(M=4096, N=4096, D=256):
+def measure_tpu_matching(N=4096, D=256, B=10, P=16):
+    """Production matching path: ``match_pair_block`` dispatches a block of
+    P pairs at once (amortizing per-dispatch latency exactly like the
+    pipeline's P2 pair blocks).  Returns matched pairs/s."""
     import jax
     import jax.numpy as jnp
     from regard3d_tpu.kernels import match
 
     rng = np.random.default_rng(0)
     # distinct input variants so no dispatch/caching layer can elide work
-    VARIANTS = 8
-    As = [jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
-          for _ in range(VARIANTS)]
-    Bs = [jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
-          for _ in range(VARIANTS)]
-    mask_b = jnp.ones((N,), bool)
-    mask_a = jnp.ones((M,), bool)
+    descs = [jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+             for _ in range(2)]
+    mask = jnp.ones((B, N), bool)
+    pairs = jnp.asarray(rng.integers(0, B, size=(P, 2)), jnp.int32)
 
     on_tpu = jax.default_backend() == "tpu"
 
     def run(k):
-        a = As[k % VARIANTS]
-        b = Bs[k % VARIANTS]
-        if on_tpu:
-            return match.l2_top2_pallas(a, b, mask_b)
-        return match.match_pair(a, mask_a, b, mask_b, 0.8, use_pallas=False)
+        return match.match_pair_block(descs[k % 2], mask, pairs, 0.8,
+                                      use_pallas=on_tpu)
 
-    # warmup / compile (two rounds: the axon tunnel needs one to settle)
-    for k in range(VARIANTS if on_tpu else 1):
-        jax.block_until_ready(run(k))
-    iters = 100 if on_tpu else 3
+    _sync(run(0))
+    _sync(run(1))
+    iters = 20 if on_tpu else 2
     t0 = time.time()
     for k in range(iters):
         out = run(k)
-    jax.block_until_ready(out)
-    return iters / (time.time() - t0)
+    _sync(out)
+    return iters * P / (time.time() - t0)
 
 
 def run_ba_bench(extra_args, timeout=1200):

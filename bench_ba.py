@@ -138,15 +138,20 @@ def main():
             return lm.lm_trial(state, lam, obs, opts, fixed, intr_mask,
                                layout=layout)
 
+    def sync(st):
+        # axon's block_until_ready returns immediately; a host fetch of one
+        # element fences all queued in-order work
+        np.asarray(jnp.ravel(st.X)[0])
+
     lam = jnp.float32(1e-4)
     out = trial(state, lam)
-    jax.block_until_ready(out.X)
+    sync(out)
     t0 = time.time()
     iters = 10
     cur = state
     for _ in range(iters):
         cur = trial(cur, lam)
-    jax.block_until_ready(cur.X)
+    sync(cur)
     dt = (time.time() - t0) / iters
 
     O = obs.xy.shape[0]

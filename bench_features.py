@@ -21,6 +21,18 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    """Force device completion: fetch a scalar that depends on the result.
+    (On the axon tunnel backend ``block_until_ready`` returns immediately,
+    so timing loops must synchronize through a host fetch; execution is
+    in-order, so fetching the LAST result fences all queued work.)"""
+    import jax
+    leaves = jax.tree_util.tree_leaves(x)
+    import numpy as _np
+    for leaf in leaves[-1:]:
+        _np.asarray(jax.numpy.ravel(leaf)[0])
+
+
 def synth_images(n, hw, rng):
     import jax.numpy as jnp
     from regard3d_tpu.kernels.scale_space import gaussian_blur
@@ -43,11 +55,11 @@ def bench_features(batch=4, hw=1024, max_kp=4096, reps=8):
         return kps.mask.sum(), descs.data.sum()
 
     for v in variants:
-        jax.block_until_ready(pipeline(v))
+        _sync(pipeline(v))
     t0 = time.time()
     for k in range(reps):
         out = pipeline(variants[k % 2])
-    jax.block_until_ready(out)
+    _sync(out)
     dt = time.time() - t0
     return reps * batch / dt
 
@@ -77,11 +89,11 @@ def bench_ransac(block=16, cap=2048, iters=1024, reps=6):
                                        iters=iters)
 
     x1j, x2j = jnp.asarray(x1), jnp.asarray(x2)
-    jax.block_until_ready(run(x1j, x2j))
+    _sync(run(x1j, x2j))
     t0 = time.time()
     for _ in range(reps):
         out = run(x1j, x2j)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = time.time() - t0
     return reps * block / dt
 

@@ -151,7 +151,7 @@ def _mesh_size(mesh) -> int:
 
 
 def _match_block(desc, mask, parr, cfg: MatchConfig, use_pallas: bool,
-                 tile_n: int, bf16: bool, mesh, axis: str):
+                 tile_m, tile_n, bf16: bool, mesh, axis: str):
     """One pair-block dispatch, optionally SPMD over the ``pairs`` axis.
 
     With a mesh, the pair block is sharded with ``shard_map`` (descriptors
@@ -160,11 +160,11 @@ def _match_block(desc, mask, parr, cfg: MatchConfig, use_pallas: bool,
     loop over pairs (src/R3DComputeMatches.cpp:877-899)."""
     def run(d, mk, pr):
         idx, d1, ok = match_mod.match_pair_block(
-            d, mk, pr, cfg.ratio, use_pallas, 256, tile_n, bf16)
+            d, mk, pr, cfg.ratio, use_pallas, tile_m, tile_n, bf16)
         if cfg.mutual:
             rev = jnp.stack([pr[:, 1], pr[:, 0]], -1)
             idx_b, _, ok_b = match_mod.match_pair_block(
-                d, mk, rev, cfg.ratio, use_pallas, 256, tile_n, bf16)
+                d, mk, rev, cfg.ratio, use_pallas, tile_m, tile_n, bf16)
             ok = jax.vmap(match_mod.mutual_filter)(idx, ok, idx_b, ok_b)
         return idx, ok
 
@@ -192,7 +192,7 @@ def match_all_pairs(kps, descs, cfg: MatchConfig,
                   and N % 256 == 0 and D % 128 == 0)
     knobs = matcher_knobs(cfg.matcher)
     bf16 = knobs["bf16"]
-    tile_n = 512 if N % 512 == 0 else 256
+    tile_m, tile_n = match_mod._auto_tiles(N, N)
 
     out = {}
     # fixed-size pair blocks: one device dispatch per block (P2 pair-block
@@ -204,7 +204,7 @@ def match_all_pairs(kps, descs, cfg: MatchConfig,
         chunk = padded[start:start + BLOCK]
         parr = jnp.asarray(np.asarray(chunk, np.int32))
         idx, ok = _match_block(descs.data, descs.mask, parr, cfg,
-                               use_pallas, tile_n, bf16, mesh, axis)
+                               use_pallas, tile_m, tile_n, bf16, mesh, axis)
         idx_np = np.asarray(idx)
         ok_np = np.asarray(ok)
         for bi, (i, j) in enumerate(chunk):
