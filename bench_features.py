@@ -21,16 +21,7 @@ import time
 import numpy as np
 
 
-def _sync(x):
-    """Force device completion: fetch a scalar that depends on the result.
-    (On the axon tunnel backend ``block_until_ready`` returns immediately,
-    so timing loops must synchronize through a host fetch; execution is
-    in-order, so fetching the LAST result fences all queued work.)"""
-    import jax
-    leaves = jax.tree_util.tree_leaves(x)
-    import numpy as _np
-    for leaf in leaves[-1:]:
-        _np.asarray(jax.numpy.ravel(leaf)[0])
+from bench_util import sync as _sync
 
 
 def synth_images(n, hw, rng):

@@ -156,6 +156,8 @@ def cmd_sfm(args):
     if args.f64:
         import jax
         jax.config.update("jax_enable_x64", True)
+    from regard3d_tpu.dist import launch as launch_mod
+    primary = launch_mod.is_primary()
     p = Project.load(args.project)
     mobj = _pick(p, "matches", args.id)
     ps, infos, images = _load_pictureset(p, mobj.parent_id)
@@ -167,8 +169,15 @@ def cmd_sfm(args):
     intr_id, params, models, widths, heights = intr_mod.build_intrinsics(
         views, model_code)
 
-    obj = p.add_triangulation(mobj.id, _params(args))
-    out_dir = p.prepare(obj.id)
+    if primary:
+        obj = p.add_triangulation(mobj.id, _params(args))
+        out_dir = p.prepare(obj.id)
+    else:
+        # secondary processes participate in the collective compute only:
+        # no project mutation, no artifact writes (dist/launch.py contract)
+        import tempfile
+        obj = None
+        out_dir = tempfile.mkdtemp(prefix="r3d_secondary_")
     t0 = time.time()
     try:
         initial_pair = None
@@ -199,14 +208,17 @@ def cmd_sfm(args):
                 rotation_averaging=args.rotation_averaging,
                 translation_averaging=args.translation_averaging,
                 refine_intrinsics=not args.no_refine_intrinsics,
-                use_gps=args.use_gps, f64=args.f64),
+                use_gps=args.use_gps, f64=args.f64,
+                dist_ba=args.dist_ba),
             image_names=[os.path.basename(i["path"]) for i in infos],
-            center_priors=center_priors)
+            center_priors=center_priors, write_artifacts=primary)
     except Exception as e:
-        p.fail(obj.id, str(e))
+        if primary:
+            p.fail(obj.id, str(e))
         raise
-    p.finish(obj.id, stats, time.time() - t0)
-    print(json.dumps(stats, indent=1, default=str))
+    if primary:
+        p.finish(obj.id, stats, time.time() - t0)
+        print(json.dumps(stats, indent=1, default=str))
 
 
 def cmd_export(args):
@@ -483,6 +495,9 @@ def build_parser():
                         "double; use for ATE-parity experiments)")
     s.add_argument("--use-gps", action="store_true",
                    help="anchor the reconstruction to EXIF GPS priors")
+    s.add_argument("--dist-ba", action="store_true",
+                   help="final BA sharded over ALL devices/processes "
+                        "(run under `r3d launch -n N -- sfm ... --dist-ba`)")
     s.add_argument("--profile", default=None,
                    help="write a JAX profiler trace to this directory")
     s.set_defaults(fn=cmd_sfm)
@@ -628,8 +643,16 @@ def main(argv=None):
     # the matcher's fast presets cast to bf16 explicitly and stay fast
     jax.config.update("jax_default_matmul_precision", "highest")
     from regard3d_tpu.dist import launch as launch_mod
-    launch_mod.init_from_env()    # join a multi-process job when launched
+    multiproc = launch_mod.init_from_env()  # join a multi-process job
     args = build_parser().parse_args(argv)
+    # only `sfm` participates in cross-process collectives (--dist-ba);
+    # every other subcommand is host-side or local-mesh work — running N
+    # duplicate copies would race on the same artifact files, so secondary
+    # processes skip it (dist/launch.py is_primary contract).
+    if multiproc and not launch_mod.is_primary() and args.cmd != "sfm":
+        print(f"r3d: secondary process skipping non-distributed "
+              f"subcommand {args.cmd!r}", file=sys.stderr)
+        return
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         import jax

@@ -15,6 +15,18 @@ backend); here the N-host axis of BASELINE.json comes from
 After ``init_from_env`` every ``jax.devices()`` call sees the GLOBAL device
 list, so meshes built by ``dist.mesh.make_mesh`` span processes and the
 ``psum``-based BA (ba/sharded.py) runs unchanged across hosts.
+
+Multi-process execution contract (enforced by the CLI dispatcher):
+
+* only the ``sfm`` subcommand is collective — with ``--dist-ba`` its final
+  bundle adjustment shards observations over ALL processes' devices
+  (pipeline/triangulation_step.py `_dist_ba_polish`); artifact writes and
+  project mutations happen on the primary only (``is_primary``);
+* every other subcommand is host-side or local-mesh work: secondary
+  processes skip it instead of racing on the same artifact files;
+* stage drivers (features/matching) auto-build meshes from
+  ``jax.local_devices()`` only, because their results are fetched to the
+  local host with ``np.asarray``.
 """
 
 from __future__ import annotations

@@ -197,7 +197,9 @@ def match_pair(desc_a, mask_a, desc_b, mask_b, ratio: float = 0.8,
     M = desc_a.shape[0]
     N = desc_b.shape[0]
     if tile_m is None or tile_n is None:
-        tile_m, tile_n = _auto_tiles(M, N)
+        auto_m, auto_n = _auto_tiles(M, N)
+        tile_m = auto_m if tile_m is None else tile_m
+        tile_n = auto_n if tile_n is None else tile_n
     if (use_pallas and tile_m is not None and tile_n is not None
             and M % tile_m == 0 and N % tile_n == 0):
         d1, i1, d2 = l2_top2_pallas(desc_a, desc_b, mask_b,
@@ -239,7 +241,9 @@ def match_pair_block(desc, mask, pairs, ratio: float = 0.8,
     ma = mask[pairs[:, 0]]
     mb = mask[pairs[:, 1]]
     if tile_m is None or tile_n is None:
-        tile_m, tile_n = _auto_tiles(desc.shape[1], desc.shape[1])
+        auto_m, auto_n = _auto_tiles(desc.shape[1], desc.shape[1])
+        tile_m = auto_m if tile_m is None else tile_m
+        tile_n = auto_n if tile_n is None else tile_n
     use_pallas = use_pallas and tile_m is not None and tile_n is not None
     if use_pallas:
         f = jax.vmap(lambda a, b, m: l2_top2_pallas(a, b, m, tile_m, tile_n,

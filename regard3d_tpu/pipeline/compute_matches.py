@@ -414,9 +414,10 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
     pair blocks over a 1-D ``pairs`` mesh automatically."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    if mesh is None and len(jax.devices()) > 1:
+    if mesh is None and len(jax.local_devices()) > 1:
+        # local devices only (results are host-fetched; see features.py)
         from regard3d_tpu.dist import mesh as mesh_mod
-        mesh = mesh_mod.make_mesh("pairs")
+        mesh = mesh_mod.make_mesh("pairs", devices=jax.local_devices())
     sizes0 = np.asarray([[im.shape[1], im.shape[0]] for im in images])
     write_stage_sfm_data(out_dir, sizes0, focals, image_names)
     counts = feat_mod.extract_features(images, out_dir, threshold,

@@ -162,9 +162,12 @@ def extract_features(images: Sequence[np.ndarray], out_dir: str,
     detector = canonical_detector(detector)
     if kp_size_factor is None:
         kp_size_factor = detector_kp_size_factor(detector)
-    if mesh is None and len(jax.devices()) > 1:
+    if mesh is None and len(jax.local_devices()) > 1:
+        # local devices only: results are fetched to THIS host with
+        # np.asarray, so the auto-mesh must never span processes (multi-
+        # process runs shard work at the pipeline layer instead)
         from regard3d_tpu.dist import mesh as mesh_mod
-        mesh = mesh_mod.make_mesh("images")
+        mesh = mesh_mod.make_mesh("images", devices=jax.local_devices())
     todo = [i for i in range(len(images))
             if force or not has_features(out_dir, i)]
     counts = [0] * len(images)

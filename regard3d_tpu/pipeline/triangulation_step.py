@@ -43,6 +43,12 @@ class TriangulationParams:
                                       # reference's Ceres BA runs double —
                                       # SURVEY §7 hard part 5); requires
                                       # jax_enable_x64
+    dist_ba: bool = False             # final BA polish sharded over ALL
+                                      # devices (ba/sharded.py) — the
+                                      # multi-process path `r3d launch`
+                                      # drives; every process participates
+                                      # in the psum collectives
+    dist_ba_iterations: int = 30
 
 
 def build_sfm_inputs(matches_dir: str, num_images: int,
@@ -142,8 +148,12 @@ def run_triangulation(matches_dir: str, out_dir: str,
                       params: TriangulationParams = TriangulationParams(),
                       image_names: Optional[List[str]] = None,
                       center_priors: Optional[np.ndarray] = None,
-                      seed: int = 0) -> Dict:
-    """Full triangulation step; writes artifacts; returns stats."""
+                      seed: int = 0, write_artifacts: bool = True) -> Dict:
+    """Full triangulation step; writes artifacts; returns stats.
+
+    ``write_artifacts=False`` computes everything but touches no files —
+    secondary processes of a multi-process job use it so only the primary
+    writes (dist/launch.py ``is_primary`` contract)."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     image_sizes = np.asarray([[im.shape[1], im.shape[0]] for im in images])
@@ -174,24 +184,28 @@ def run_triangulation(matches_dir: str, out_dir: str,
                 initializer=params.initializer), seed=seed,
             center_priors=(center_priors if params.use_gps else None))
 
+    if params.dist_ba:
+        result = _dist_ba_polish(result, inputs, params)
+
     colors = colorize_tracks(inputs, result, images)
     scene = result_to_scene(result, inputs, image_sizes, colors)
 
     # artifacts (contract parity, SURVEY.md §A.4)
-    sfm_data.save_npz(os.path.join(out_dir, "scene.npz"), scene)
-    sfm_data.save_json(os.path.join(out_dir, "sfm_data.json"), scene,
-                       image_names)
-    ok = np.asarray(result.track_ok)
-    ply_mod.export_cloud_and_poses(
-        os.path.join(out_dir, "cloud_and_poses.ply"),
-        np.asarray(result.X)[ok],
-        np.clip(colors[ok] * 255, 0, 255).astype(np.uint8),
-        np.asarray(result.C)[result.pose_mask])
-    ply_mod.write_ply(os.path.join(out_dir, "FinalColorized.ply"),
-                      ply_mod.PlyData(
-                          xyz=np.asarray(result.X)[ok],
-                          rgb=np.clip(colors[ok] * 255, 0,
-                                      255).astype(np.uint8)))
+    if write_artifacts:
+        sfm_data.save_npz(os.path.join(out_dir, "scene.npz"), scene)
+        sfm_data.save_json(os.path.join(out_dir, "sfm_data.json"), scene,
+                           image_names)
+        ok = np.asarray(result.track_ok)
+        ply_mod.export_cloud_and_poses(
+            os.path.join(out_dir, "cloud_and_poses.ply"),
+            np.asarray(result.X)[ok],
+            np.clip(colors[ok] * 255, 0, 255).astype(np.uint8),
+            np.asarray(result.C)[result.pose_mask])
+        ply_mod.write_ply(os.path.join(out_dir, "FinalColorized.ply"),
+                          ply_mod.PlyData(
+                              xyz=np.asarray(result.X)[ok],
+                              rgb=np.clip(colors[ok] * 255, 0,
+                                          255).astype(np.uint8)))
     stats = dict(result.stats)
     stats["elapsed_s"] = time.time() - t0
 
@@ -223,12 +237,64 @@ def run_triangulation(matches_dir: str, out_dir: str,
             "mean_px": float(sums[v] / n_obs[v]) if n_obs[v] else float("nan"),
             "median_px": float(np.median(rv)) if len(rv) else float("nan"),
         })
+    if params.dist_ba and len(r):
+        # the sharded polish changed the state after the engine computed
+        # its stats — refresh the residual summary from the final state
+        stats.update({
+            "rms_px": float(np.sqrt((r ** 2).mean())),
+            "residual_min": float(r.min()),
+            "residual_max": float(r.max()),
+            "residual_mean": float(r.mean()),
+            "residual_median": float(np.median(r)),
+        })
     if len(r):
         counts, edges = np.histogram(r, bins=20,
                                      range=(0.0, max(4.0, float(r.max()))))
         hist = (edges, counts)
     else:
         hist = None
-    write_html_report(os.path.join(out_dir, "Reconstruction_Report.html"),
-                      stats, params, views=views_rows, histogram=hist)
+    if write_artifacts:
+        write_html_report(os.path.join(out_dir,
+                                       "Reconstruction_Report.html"),
+                          stats, params, views=views_rows, histogram=hist)
     return stats
+
+
+def _dist_ba_polish(result: incremental.SfMResult,
+                    inputs: incremental.SfMInputs,
+                    params: TriangulationParams) -> incremental.SfMResult:
+    """Final BA refinement sharded over every visible device.
+
+    The production caller of ``ba.sharded.bundle_adjust_sharded`` (P6 of
+    SURVEY.md §2.3 — the reference's Ceres multithreaded BA,
+    src/CMakeLists.txt:315): the observation table splits over an ``obs``
+    mesh axis spanning all devices of all processes; psum forms the global
+    normal equations.  Every process of a multi-process job must call this
+    collectively (``r3d sfm --dist-ba`` under ``r3d launch``)."""
+    import jax
+    from regard3d_tpu.ba import lm as lm_mod, sharded
+    from regard3d_tpu.dist import mesh as meshlib
+    devs = jax.devices()
+    mesh = meshlib.make_mesh("obs", devices=devs)
+    tid = np.asarray(inputs.track_id)
+    vid = np.asarray(inputs.view_id)
+    iid = np.asarray(inputs.intr_id)
+    w = (result.obs_active & result.track_ok[tid]
+         & result.pose_mask[vid])
+    obs = lm_mod.BAObservations(
+        view_id=inputs.view_id, intr_id=inputs.intr_id[inputs.view_id],
+        point_id=inputs.track_id,
+        model=inputs.models[inputs.intr_id[inputs.view_id]],
+        xy=inputs.xy, weight=jnp.asarray(w, inputs.xy.dtype))
+    # gauge: unposed cameras stay fixed, plus the first posed camera
+    fixed = ~result.pose_mask.copy()
+    posed = np.nonzero(result.pose_mask)[0]
+    if len(posed):
+        fixed[posed[0]] = True
+    state = lm_mod.BAState(R=result.R, C=result.C, intr=result.intr,
+                           X=result.X)
+    opts = lm_mod.BAOptions(max_iterations=params.dist_ba_iterations,
+                            refine_intrinsics=params.refine_intrinsics)
+    out, _ = sharded.bundle_adjust_sharded(
+        state, obs, mesh, opts, fixed_pose_mask=jnp.asarray(fixed))
+    return result._replace(R=out.R, C=out.C, intr=out.intr, X=out.X)

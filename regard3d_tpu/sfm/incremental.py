@@ -283,8 +283,12 @@ def _stellar_seed(inputs: SfMInputs, table: tracks_mod.TrackTable,
             continue
         dmap = dict(zip(tid_np[oh[inl]][good].tolist(),
                         depths[good].tolist()))
-        deact = np.concatenate([oh[~inl], ov[~inl]])
-        edges.append((v, Rj, Cj, dmap, deact))
+        # neighbour-view rows are tested by exactly one hub edge -> safe to
+        # deactivate outright; hub-view rows are shared across edges, so
+        # record in/out sets and deactivate only rows that are E-outliers
+        # in EVERY edge that tested them (an observation inlying one edge
+        # is geometrically supported and must keep its pod track support)
+        edges.append((v, Rj, Cj, dmap, ov[~inl], oh[inl], oh[~inl]))
 
     if len(edges) < 2:
         return None
@@ -342,12 +346,18 @@ def _stellar_seed(inputs: SfMInputs, table: tracks_mod.TrackTable,
     scales = np.exp(logs)
 
     poses = {hub: (np.eye(3), np.zeros(3))}
-    deact_all = []
+    deact_nbr, hub_in, hub_out = [], [], []
     for i, e in enumerate(keep):
-        v, Rj, Cj, _, deact = edges[e]
+        v, Rj, Cj, _, deact_v, oh_in, oh_out = edges[e]
         poses[v] = (Rj, Cj * scales[i])
-        deact_all.append(deact)
-    return hub, poses, np.concatenate(deact_all)
+        deact_nbr.append(deact_v)
+        hub_in.append(oh_in)
+        hub_out.append(oh_out)
+    # hub rows: outlier in every edge that tested them (set intersection)
+    hub_deact = np.setdiff1d(np.concatenate(hub_out),
+                             np.concatenate(hub_in))
+    deact_all = np.concatenate(deact_nbr + [hub_deact])
+    return hub, poses, deact_all
 
 
 def run_incremental(inputs: SfMInputs,
