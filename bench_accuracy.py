@@ -93,6 +93,8 @@ def run_dataset(name: str, seed: int = 0) -> dict:
 
 
 def main():
+    from regard3d_tpu import runtime
+    runtime.setup()   # f32 matmuls + persistent compile cache (CLI parity)
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", default="castle,fountain")
     ap.add_argument("--update-golden", action="store_true")

@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--cg", type=int, default=20)
     ap.add_argument("--mesh", type=int, default=0,
                     help="N devices: time the shard_map/psum sharded path")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (comparable-backend scaling "
+                         "points: the 1-dev vs mesh-N curve must share a "
+                         "backend to mean anything)")
     args = ap.parse_args()
 
     import os
@@ -84,7 +88,8 @@ def main():
             ).strip()
 
     import jax
-    if args.mesh > 1 and os.environ.get("R3D_BENCH_REAL_MESH") != "1":
+    if args.cpu or (args.mesh > 1
+                    and os.environ.get("R3D_BENCH_REAL_MESH") != "1"):
         # must run BEFORE backend init (first jax.devices() call); the axon
         # plugin ignores the JAX_PLATFORMS env var, only the config works.
         # Set R3D_BENCH_REAL_MESH=1 on a pod with N real chips.
@@ -93,9 +98,10 @@ def main():
         raise SystemExit(
             f"--mesh {args.mesh} needs {args.mesh} devices, "
             f"have {len(jax.devices())} on {jax.default_backend()}")
-    # production config: geometry/BA math runs f32 matmuls, not the TPU
-    # bf16 default (same setting the CLI applies)
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # production config: f32 matmuls + persistent compile cache (same
+    # settings the CLI applies)
+    from regard3d_tpu import runtime
+    runtime.setup()
     import jax.numpy as jnp
     from regard3d_tpu.ba import lm
 

@@ -637,11 +637,12 @@ def build_parser():
 
 
 def main(argv=None):
-    import jax
-    # geometry/BA correctness: f32 matmuls everywhere (the TPU default is
-    # bf16, which corrupts RANSAC normal equations and Schur products);
-    # the matcher's fast presets cast to bf16 explicitly and stay fast
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # f32 matmuls (bf16 default corrupts RANSAC/BA linear algebra; fast
+    # matcher presets opt into bf16 explicitly) + persistent compilation
+    # cache so warm reruns skip XLA compiles (the reference runs 11-image
+    # scenes interactively; the compile tax is our equivalent cost).
+    from regard3d_tpu import runtime
+    runtime.setup()
     from regard3d_tpu.dist import launch as launch_mod
     multiproc = launch_mod.init_from_env()  # join a multi-process job
     args = build_parser().parse_args(argv)

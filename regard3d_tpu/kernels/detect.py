@@ -236,7 +236,11 @@ def detect(levels: List[ss.Evolution], cfg: ss.ScaleSpaceConfig,
 
     B = ldets[0].shape[0]
     octaves = sorted({lv.meta.octave for lv in levels})
-    per_oct = max(max_keypoints // len(octaves), 128)
+    # per-octave capacity = the full budget: detections concentrate in
+    # octave 0 (fine scales), so splitting the budget across octaves
+    # silently dropped ~2/3 of survivors vs the reference's unbounded
+    # vectors; the global top-k below trims to max_keypoints
+    per_oct = max_keypoints
 
     all_x, all_y, all_size, all_angle, all_resp, all_valid = ([] for _ in range(6))
 

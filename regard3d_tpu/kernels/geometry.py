@@ -56,15 +56,221 @@ def normalize_points(x, mask=None):
 
 
 # ---------------------------------------------------------------------------
-# Linear solvers (batched over samples)
+# Fast batched small linear algebra (no LAPACK-style custom calls)
+#
+# TPU rationale: XLA's batched eigh/svd/lu lower to iterative decomposition
+# loops that dominate the robust-estimation profile (95% of ACRANSAC time was
+# `eigh(9x9)` + `svd(3x3)` over 16k samples). Everything here is unrolled
+# static-step elementwise/matmul code that XLA fuses into a few kernels.
 # ---------------------------------------------------------------------------
+
+def chol_solve(A, b):
+    """Solve SPD systems by unrolled Cholesky. A: (S, n, n), b: (S, n).
+
+    n is static and small (<=16); no pivoting is needed for SPD inputs, so
+    the whole factorization is static slices + fused einsums."""
+    S, n, _ = A.shape
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        if j > 0:
+            accum = jnp.einsum("si,sji->sj", L[:, j, :j], L[:, :, :j])
+        else:
+            accum = jnp.zeros_like(A[:, :, 0])
+        cj = A[:, :, j] - accum                        # (S, n)
+        d = jnp.sqrt(jnp.maximum(cj[:, j], 1e-30))
+        colj = cj / d[:, None]
+        colj = jnp.where(jnp.arange(n)[None, :] >= j, colj, 0.0)
+        L = L.at[:, :, j].set(colj)
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        yi = (b[:, i] - jnp.einsum("sk,sk->s", L[:, i, :i], y[:, :i])) \
+            / L[:, i, i]
+        y = y.at[:, i].set(yi)
+    x = jnp.zeros_like(b)
+    for i in range(n - 1, -1, -1):
+        xi = (y[:, i] - jnp.einsum("sk,sk->s", L[:, i + 1:, i],
+                                   x[:, i + 1:])) / L[:, i, i]
+        x = x.at[:, i].set(xi)
+    return x
+
+
+def smallest_eigvec(AtA, iters: int = 2):
+    """Eigenvector of the smallest eigenvalue of a PSD matrix batch
+    (S, n, n) by shifted inverse iteration with the unrolled Cholesky.
+
+    For minimal RANSAC samples lambda_min ~ 0 << lambda_2, so one solve
+    amplifies the nullspace by ~1/eps and two iterations are exact to f32;
+    for weighted least-squares refits the gap is smaller but 2-3 iterations
+    still dominate the old batched ``eigh`` by ~50x on TPU."""
+    S, n, _ = AtA.shape
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)
+    eps = 1e-8 * tr + 1e-30
+    M = AtA + eps[:, None, None] * jnp.eye(n, dtype=AtA.dtype)
+    # fixed unstructured start vector (irrational mix; never exactly
+    # orthogonal to a data nullspace in float)
+    v0 = jnp.cos(jnp.arange(1, n + 1, dtype=AtA.dtype) * 1.6180339887)
+    v0 = jnp.broadcast_to(v0 / jnp.linalg.norm(v0), (S, n))
+    v = v0
+    for _ in range(iters):
+        v = chol_solve(M, v)
+        # overflow-safe renormalization: rank-deficient samples (duplicate
+        # points) can amplify past f32 range inside one solve; degenerate
+        # rows reset to the start vector (their model scores poorly anyway)
+        m = jnp.max(jnp.abs(v), -1, keepdims=True)
+        v = v / jnp.maximum(m, 1e-30)
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
+        nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = jnp.where(nrm > 1e-20, v / jnp.maximum(nrm, 1e-30), v0)
+    return v
+
+
+def inv3x3(A):
+    """Closed-form (adjugate) inverse of a 3x3 batch (..., 3, 3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det,
+                              jnp.where(det >= 0, 1e-30, -1e-30))
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A10, A11, A12], -1),
+        jnp.stack([A20, A21, A22], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def solve3x3(A, b):
+    """Closed-form 3x3 solve. A: (..., 3, 3), b: (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(A), b)
+
+
+def eigh3x3(A):
+    """Analytic symmetric 3x3 eigendecomposition (trigonometric method).
+
+    A: (..., 3, 3) symmetric. Returns (w (..., 3) DESCENDING, V (..., 3, 3)
+    columns = eigenvectors). Eigenvectors via the cross-product of the two
+    best-conditioned rows of (A - lambda I); v_mid = v_min x v_max keeps the
+    basis orthonormal even near-degenerate."""
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    eye = jnp.eye(3, dtype=A.dtype)
+    B = A - q[..., None, None] * eye
+    p2 = jnp.einsum("...ij,...ij->...", B, B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    degenerate = p2 < 1e-24
+    psafe = jnp.where(degenerate, 1.0, p)
+    detB = jnp.linalg.det(B / psafe[..., None, None])
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    w0 = q + 2.0 * psafe * jnp.cos(phi)                       # largest
+    w2 = q + 2.0 * psafe * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    w1 = 3.0 * q - w0 - w2
+    w0 = jnp.where(degenerate, q, w0)
+    w1 = jnp.where(degenerate, q, w1)
+    w2 = jnp.where(degenerate, q, w2)
+
+    def eigvec(lmbda):
+        C = A - lmbda[..., None, None] * eye
+        r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
+        c01 = jnp.cross(r0, r1)
+        c02 = jnp.cross(r0, r2)
+        c12 = jnp.cross(r1, r2)
+        n01 = jnp.sum(c01 * c01, -1)
+        n02 = jnp.sum(c02 * c02, -1)
+        n12 = jnp.sum(c12 * c12, -1)
+        best = jnp.argmax(jnp.stack([n01, n02, n12], -1), -1)
+        cands = jnp.stack([c01, c02, c12], -2)
+        v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
+                                -2)[..., 0, :]
+        nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], A.dtype),
+                                    v.shape)
+        return jnp.where(nrm > 1e-20, v / jnp.maximum(nrm, 1e-30), fallback)
+
+    vmax = eigvec(w0)
+    vmin = eigvec(w2)
+    # re-orthogonalize vmin against vmax, then complete the basis
+    vmin = vmin - jnp.sum(vmin * vmax, -1, keepdims=True) * vmax
+    nmin = jnp.linalg.norm(vmin, axis=-1, keepdims=True)
+    alt = jnp.cross(vmax, jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], A.dtype), vmax.shape))
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True),
+                            1e-30)
+    vmin = jnp.where(nmin > 1e-12, vmin / jnp.maximum(nmin, 1e-30), alt)
+    vmid = jnp.cross(vmin, vmax)
+    V = jnp.stack([vmax, vmid, vmin], -1)
+
+    # One cyclic Jacobi sweep polishes V: with (near-)repeated eigenvalues
+    # the cross-product method mixes the degenerate subspace arbitrarily
+    # (essential matrices have sigma1 = sigma2); Jacobi rotations converge
+    # quadratically from a near-diagonal start and are pure elementwise ops.
+    for (pi, qi) in ((0, 1), (0, 2), (1, 2)):
+        vp = V[..., :, pi]
+        vq = V[..., :, qi]
+        Avp = jnp.einsum("...ij,...j->...i", A, vp)
+        Avq = jnp.einsum("...ij,...j->...i", A, vq)
+        app = jnp.sum(vp * Avp, -1)
+        aqq = jnp.sum(vq * Avq, -1)
+        apq = jnp.sum(vp * Avq, -1)
+        theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
+        c = jnp.cos(theta)[..., None]
+        s = jnp.sin(theta)[..., None]
+        V = V.at[..., :, pi].set(c * vp + s * vq)
+        V = V.at[..., :, qi].set(c * vq - s * vp)
+    # Rayleigh-quotient eigenvalues of the polished basis, sorted descending
+    AV = jnp.einsum("...ij,...jk->...ik", A, V)
+    w = jnp.einsum("...ik,...ik->...k", V, AV)
+    order = jnp.argsort(-w, axis=-1)
+    w = jnp.take_along_axis(w, order, -1)
+    V = jnp.take_along_axis(V, order[..., None, :], -1)
+    return w, V
+
+
+def svd3x3(F):
+    """Analytic 3x3 SVD from eigh3x3 of F^T F. F: (..., 3, 3).
+
+    Returns (U, s, Vt) with s descending; U's third column is completed as
+    u0 x u1 so U stays orthonormal even for rank-2 inputs (the common case
+    here: fundamental/essential projections). Note: for full-rank inputs the
+    sign of the third singular triple is not recovered (F = U diag(s1, s2,
+    +-s3) Vt) — every caller here zeroes s3, where the identity is exact.
+    U and V are always proper rotations (third column = cross product)."""
+    w, V = eigh3x3(jnp.einsum("...ji,...jk->...ik", F, F))
+    # proper-rotation V: flip the third column if the eigh basis is
+    # left-handed (eigenvector signs are free; the zeroed third singular
+    # triple makes the flip reconstruction-neutral)
+    detV = jnp.linalg.det(V)
+    V = V.at[..., :, 2].multiply(jnp.where(detV < 0, -1.0, 1.0)[..., None])
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    FV = jnp.einsum("...ij,...jk->...ik", F, V)
+    u0 = FV[..., :, 0] / jnp.maximum(s[..., 0:1], 1e-30)
+    u1 = FV[..., :, 1] / jnp.maximum(s[..., 1:2], 1e-30)
+    # guard rank-1 inputs: orthonormalize u1 against u0
+    u1 = u1 - jnp.sum(u1 * u0, -1, keepdims=True) * u0
+    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    alt = jnp.cross(u0, jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], F.dtype), u0.shape))
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True),
+                            1e-30)
+    u1 = jnp.where(n1 > 1e-12, u1 / jnp.maximum(n1, 1e-30), alt)
+    u2 = jnp.cross(u0, u1)
+    U = jnp.stack([u0, u1, u2], -1)
+    return U, s, jnp.swapaxes(V, -1, -2)
+
 
 def _smallest_singular_vector(A):
     """Right singular vector of the smallest singular value. A: (S, m, n)."""
-    # eigh of A^T A is faster & more stable to batch than full svd of A
     AtA = jnp.einsum("smi,smj->sij", A, A)
-    _, v = jnp.linalg.eigh(AtA)           # ascending eigenvalues
-    return v[..., :, 0]
+    return smallest_eigvec(AtA)
 
 
 def fit_fundamental_8pt(x1, x2, w=None):
@@ -83,8 +289,8 @@ def fit_fundamental_8pt(x1, x2, w=None):
         A = A * w[..., None]
     f = _smallest_singular_vector(A)
     F = f.reshape(-1, 3, 3)
-    # rank-2 projection
-    U, s, Vt = jnp.linalg.svd(F)
+    # rank-2 projection (analytic 3x3 SVD — no LAPACK-style batched svd)
+    U, s, Vt = svd3x3(F)
     s = s.at[..., 2].set(0.0)
     F = U @ (s[..., None] * Vt)
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
@@ -97,7 +303,7 @@ def fit_essential_8pt(x1, x2, w=None):
     """8-point essential on normalized camera coords (S, n, 2); projects to
     the essential manifold (singular values 1,1,0)."""
     F = fit_fundamental_8pt(x1, x2, w)
-    U, s, Vt = jnp.linalg.svd(F)
+    U, s, Vt = svd3x3(F)
     d = jnp.ones_like(s).at[..., 2].set(0.0)
     return U @ (d[..., None] * Vt)
 
@@ -119,7 +325,7 @@ def fit_homography_4pt(x1, x2, w=None):
         A = A * jnp.concatenate([w, w], -1)[..., None]
     h = _smallest_singular_vector(A)
     H = h.reshape(-1, 3, 3)
-    Hd = jnp.linalg.inv(T2) @ H @ T1
+    Hd = inv3x3(T2) @ H @ T1
     return Hd / jnp.where(jnp.abs(Hd[..., 2:3, 2:3]) > 1e-12,
                           Hd[..., 2:3, 2:3], 1e-12)
 
@@ -157,7 +363,7 @@ def sym_transfer_h(H, x1, x2):
         p = jnp.einsum("...ij,...nj->...ni", H, ah)
         p = p[..., :2] / jnp.where(jnp.abs(p[..., 2:]) > 1e-12, p[..., 2:], 1e-12)
         return jnp.sum((p - b) ** 2, -1)
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv3x3(H)
     return 0.5 * (fwd(H, x1, x2) + fwd(Hinv, x2, x1))
 
 
@@ -181,8 +387,7 @@ def triangulate_2view(R1, C1, R2, C2, b1, b2):
     A = A1 + A2
     b = jnp.einsum("...nij,...j->...ni", A1, C1) + \
         jnp.einsum("...nij,...j->...ni", A2, C2)
-    return jnp.linalg.solve(A + 1e-12 * jnp.eye(3, dtype=A.dtype),
-                            b[..., None])[..., 0]
+    return solve3x3(A + 1e-12 * jnp.eye(3, dtype=A.dtype), b)
 
 
 def decompose_essential(E, x1, x2):
@@ -191,12 +396,7 @@ def decompose_essential(E, x1, x2):
     E: (S, 3, 3); x1, x2: (S, N, 2) normalized camera coords (weights: all
     points vote). Returns (R (S,3,3), t (S,3), ngood (S,)) — pose of camera 2
     such that x_cam2 = R @ (X - C2) with C1 = 0, and t = -R C2 (unit norm)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # ensure proper rotations
-    detU = jnp.linalg.det(U)
-    detV = jnp.linalg.det(Vt)
-    U = U * jnp.stack([jnp.ones_like(detU), jnp.ones_like(detU), detU], -1)[..., None, :]
-    Vt = Vt * jnp.stack([jnp.ones_like(detV), jnp.ones_like(detV), detV], -1)[..., :, None]
+    U, _, Vt = svd3x3(E)   # proper rotations by construction (see svd3x3)
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
                     E.dtype)
     Ra = U @ W @ Vt
@@ -290,7 +490,7 @@ def triangulate_nview(R, C, b, mask):
     Ai = (eye[None] - d[:, :, None] * d[:, None, :]) * w[:, None, None]
     A = jnp.sum(Ai, 0)
     rhs = jnp.sum(jnp.einsum("vij,vj->vi", Ai, C), 0)
-    X = jnp.linalg.solve(A + 1e-9 * eye, rhs[..., None])[..., 0]
+    X = solve3x3(A + 1e-9 * eye, rhs)
     nviews = jnp.sum(mask.astype(jnp.int32))
     return X, nviews >= 2
 

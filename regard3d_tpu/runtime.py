@@ -1,0 +1,39 @@
+"""Process-level JAX runtime configuration shared by every entry point.
+
+The reference records per-step wall time and re-runs interactively
+(``src/R3DProject.h:171`` runningTime_); on TPU the equivalent UX killer is
+XLA compile time — tens of seconds per program shape.  Every entry point
+(CLI, benches, driver hooks, tests) therefore enables the persistent
+compilation cache so warm reruns skip compilation entirely, and pins f32
+matmul precision (the TPU default bf16 corrupts RANSAC normal equations and
+BA Schur products; the matcher's fast presets opt into bf16 explicitly).
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_CACHE_DIR = os.environ.get(
+    "R3D_JAX_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "r3d_jaxcache"))
+
+
+def setup(cache_dir: str | None = None, precision: str = "highest") -> None:
+    """Enable the persistent compilation cache + f32 matmul precision.
+
+    Safe to call multiple times and before/after backend initialization
+    (cache config keys apply at compile time, not backend-init time)."""
+    import jax
+
+    path = cache_dir or DEFAULT_CACHE_DIR
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: the pipeline dispatches many small
+        # programs whose *sum* dominates warm-start time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization — never fail the pipeline over it
+    if precision:
+        jax.config.update("jax_default_matmul_precision", precision)

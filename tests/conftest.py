@@ -19,7 +19,10 @@ import jax  # noqa: E402
 # The axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# cache every compile: the fast gate is dominated by the *sum* of many
+# multi-second compiles, and warm reruns should skip all of them
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
