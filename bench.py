@@ -52,10 +52,12 @@ def measure_cpu_reference(M=4096, N=4096, D=256, reps=3):
     return reps / (time.time() - t0)
 
 
-def measure_tpu_matching(N=4096, D=256, B=10, P=16):
+def measure_tpu_matching(N=4096, D=256, B=10, P=16, bf16=False):
     """Production matching path: ``match_pair_block`` dispatches a block of
     P pairs at once (amortizing per-dispatch latency exactly like the
-    pipeline's P2 pair blocks).  Returns matched pairs/s."""
+    pipeline's P2 pair blocks).  ``bf16=True`` times the shipped
+    fast/medium preset (matcher_knobs -> bfloat16 MXU inputs).
+    Returns matched pairs/s."""
     import jax
     import jax.numpy as jnp
     from regard3d_tpu.kernels import match
@@ -71,7 +73,7 @@ def measure_tpu_matching(N=4096, D=256, B=10, P=16):
 
     def run(k):
         return match.match_pair_block(descs[k % 2], mask, pairs, 0.8,
-                                      use_pallas=on_tpu)
+                                      use_pallas=on_tpu, bf16=bf16)
 
     _sync(run(0))
     _sync(run(1))
@@ -118,14 +120,33 @@ def run_features_bench(timeout=1500):
 
 
 def main():
+    from regard3d_tpu import runtime
+    runtime.setup(precision=None)   # persistent compile cache
     pairs_per_s = measure_tpu_matching()
+    pairs_per_s_bf16 = measure_tpu_matching(bf16=True)
     cpu_ref = measure_cpu_reference()
 
-    ba1 = run_ba_bench(["--cams", "300", "--pts", "50000",
-                        "--obs-per-pt", "12"])
-    ba8 = run_ba_bench(["--mesh", "8", "--cams", "100", "--pts", "10000",
-                        "--obs-per-pt", "8"])
+    # BA scaling curve: the 1-dev/mesh-8 comparison shares the CPU backend
+    # and the SAME problem (strong scaling); the weak-scaling pair holds
+    # per-device observations fixed. The TPU 1-dev point is the absolute
+    # per-chip number.
+    PROB = ["--cams", "300", "--pts", "50000", "--obs-per-pt", "12"]
+    WEAK1 = ["--cams", "300", "--pts", "50000", "--obs-per-pt", "2"]
+    WEAK8 = ["--cams", "300", "--pts", "50000", "--obs-per-pt", "16"]
+    ba_tpu1 = run_ba_bench(PROB)
+    ba_cpu1 = run_ba_bench(PROB + ["--cpu"])
+    ba_cpu8 = run_ba_bench(PROB + ["--mesh", "8"])
+    ba_w1 = run_ba_bench(WEAK1 + ["--cpu"])
+    ba_w8 = run_ba_bench(WEAK8 + ["--mesh", "8"])
     fb = run_features_bench()
+
+    def val(d):
+        return d and d.get("value")
+
+    strong = (val(ba_cpu8) / val(ba_cpu1)
+              if val(ba_cpu8) and val(ba_cpu1) else None)
+    weak = (val(ba_w8) / val(ba_w1)
+            if val(ba_w8) and val(ba_w1) else None)
 
     print(json.dumps({
         "metric": "matched_pairs_per_s_per_chip",
@@ -134,14 +155,27 @@ def main():
         "vs_baseline": round(pairs_per_s / cpu_ref, 2),
         "extra": {
             "cpu_reference_pairs_per_s_measured": round(cpu_ref, 2),
-            "ba_lm_iters_per_s_1dev": ba1 and ba1.get("value"),
-            "ba_1dev_detail": ba1 and ba1.get("unit"),
-            "ba_1dev_backend": ba1 and ba1.get("backend"),
-            "ba_lm_iters_per_s_mesh8": ba8 and ba8.get("value"),
-            "ba_mesh8_detail": ba8 and ba8.get("unit"),
+            "matching_bf16_pairs_per_s": round(pairs_per_s_bf16, 2),
+            "ba_lm_iters_per_s_1dev": val(ba_tpu1),
+            "ba_1dev_detail": ba_tpu1 and ba_tpu1.get("unit"),
+            "ba_1dev_backend": ba_tpu1 and ba_tpu1.get("backend"),
+            "ba_lm_iters_per_s_cpu1": val(ba_cpu1),
+            "ba_lm_iters_per_s_cpu_mesh8": val(ba_cpu8),
+            "ba_strong_scaling_x_mesh8_vs_1dev_cpu":
+                strong and round(strong, 2),
+            "ba_weak_scaling_efficiency_cpu":
+                weak and round(weak, 2),
+            "ba_weak_detail": "per-device obs fixed at 100k (1 dev obs/pt=2 "
+                              "vs mesh-8 obs/pt=16), CPU backend",
             "features_imgs_per_s": fb and fb.get("features_imgs_per_s"),
             "ransac_pairs_per_s": fb and fb.get("ransac_pairs_per_s"),
             "features_backend": fb and fb.get("backend"),
+            "cpu_features_imgs_per_s":
+                fb and fb.get("cpu_features_imgs_per_s"),
+            "cpu_ransac_pairs_per_s":
+                fb and fb.get("cpu_ransac_pairs_per_s"),
+            "features_vs_cpu": fb and fb.get("features_vs_cpu"),
+            "ransac_vs_cpu": fb and fb.get("ransac_vs_cpu"),
         },
     }))
 

@@ -89,24 +89,83 @@ def _normalized_xy(inputs: SfMInputs, intr) -> jnp.ndarray:
 
 def rank_initial_pairs(inputs: SfMInputs, table: tracks_mod.TrackTable,
                        key, cfg: IncrementalConfig,
-                       num_views: int) -> List[Tuple[int, int]]:
+                       num_views: int, top_k: int = 50,
+                       block: int = 16) -> List[Tuple[int, int]]:
     """Candidate initial pairs in preference order: most shared tracks
     first, pairs with enough E-inliers, homography-degenerate (planar /
     pure-rotation) pairs demoted to the back.
-    ~ SfMSceneInitializerMaxPair parity."""
+    ~ SfMSceneInitializerMaxPair + getBestValidatedPairs parity
+    (src/utils/OpenMVGHelper.cpp:273-419 ranks ALL validated pairs).
+
+    The top ``top_k`` covisible candidates are validated in *batched*
+    device dispatches (``acransac_e_batch`` + ``acransac_h_batch`` over
+    padded blocks) instead of a serial per-pair host loop — on ambiguous
+    scenes where the most-covisible pairs are planar/degenerate, viable
+    pairs further down the list are still found."""
     cand, counts = tracks_mod.covisibility_pairs(table, num_views,
                                                  min_count=30)
     pairs = [(int(c), int(i), int(j)) for c, (i, j) in zip(counts, cand)]
     xn = np.asarray(_normalized_xy(inputs, inputs.intr))
+
+    # gather correspondences for the candidate window (host-side indexing)
+    items = []
+    for cnt, i, j in pairs[:top_k]:
+        oi, oj = _pair_obs(inputs, i, j)
+        if len(oi) >= 16:
+            items.append((i, j, oi, oj))
     good, planar = [], []
-    for rank, (cnt, i, j) in enumerate(pairs[:10]):
-        res = _two_view_geometry(inputs, xn, i, j, key, cfg)
-        if res is None or int(res[3]) < cfg.min_initial_inliers:
-            continue
-        if _pair_is_planar(inputs, xn, i, j, key, cfg):
-            planar.append((i, j))
-            continue
-        good.append((i, j))
+    h_ratio_threshold = 0.92
+    for s0 in range(0, len(items), block):
+        grp = items[s0:s0 + block]
+        P = len(grp)
+        cap = max(64, 1 << int(np.ceil(np.log2(
+            max(len(g[2]) for g in grp)))))
+        x1 = np.zeros((P, cap, 2), np.float32)
+        x2 = np.zeros((P, cap, 2), np.float32)
+        x1h = np.zeros((P, cap, 2), np.float32)
+        x2h = np.zeros((P, cap, 2), np.float32)
+        mask = np.zeros((P, cap), bool)
+        la_e = np.zeros((P,), np.float32)
+        me_e = np.zeros((P,), np.float32)
+        la_h = np.zeros((P,), np.float32)
+        me_h = np.full((P,), np.float32(cfg.max_err_px ** 2), np.float32)
+        for bi, (i, j, oi, oj) in enumerate(grp):
+            n = len(oi)
+            f = float(inputs.intr[inputs.intr_id[i], 0])
+            x1[bi, :n] = xn[oi]
+            x2[bi, :n] = xn[oj]
+            x1h[bi, :n] = xn[oi] * f
+            x2h[bi, :n] = xn[oj] * f
+            mask[bi, :n] = True
+            w = float(inputs.image_sizes[i][0]) or 2.0 * f
+            h = float(inputs.image_sizes[i][1]) or 2.0 * f
+            la_e[bi] = np.log10(2.0 * np.hypot(w, h) / (w * h) * f)
+            me_e[bi] = (cfg.max_err_px / f) ** 2
+            la_h[bi] = ransac._logalpha0_point(2.0 * f, 2.0 * f)
+        key, k1, k2 = jax.random.split(key, 3)
+        ke = jax.random.split(k1, P)
+        kh = jax.random.split(k2, P)
+        maskj = jnp.asarray(mask)
+        re = ransac.acransac_e_batch(ke, jnp.asarray(x1), jnp.asarray(x2),
+                                     maskj, jnp.asarray(la_e),
+                                     jnp.asarray(me_e),
+                                     iters=cfg.ransac_iters)
+        rh = ransac.acransac_h_batch(kh, jnp.asarray(x1h),
+                                     jnp.asarray(x2h), maskj,
+                                     jnp.asarray(la_h), jnp.asarray(me_h),
+                                     iters=min(cfg.ransac_iters, 512))
+        e_valid = np.asarray(re.valid)
+        e_num = np.asarray(re.num_inliers)
+        h_valid = np.asarray(rh.valid)
+        h_num = np.asarray(rh.num_inliers)
+        for bi, (i, j, oi, oj) in enumerate(grp):
+            n = len(oi)
+            if not e_valid[bi] or e_num[bi] < cfg.min_initial_inliers:
+                continue
+            if h_valid[bi] and h_num[bi] >= h_ratio_threshold * n:
+                planar.append((i, j))
+            else:
+                good.append((i, j))
     out = good + planar
     if not out and pairs:
         out = [pairs[0][1:]]

@@ -1,0 +1,102 @@
+"""Detector parity gate against the reference AKAZE's own output.
+
+``tests/data/akaze_golden.npz`` holds keypoints produced by the reference's
+vendored AKAZE (/root/reference/src/thirdparty/akaze/lib) compiled
+out-of-tree (native/akaze_oracle, cv-shim methodology like the LIOP golden)
+on three committed synthetic images at the four GUI sensitivity presets
+(threshold 0.001/0.0007/0.0005/0.0001,
+src/gui/Regard3DComputeMatchesDialog.cpp:96-128).
+
+The gate is repeatability/overlap + count parity, not exact equality: the
+TPU detector is a from-scratch statically-shaped rebuild (windowed masked
+suppression instead of greedy keypoint lists), so individual survivors of
+near-tied suppression duels may differ while the detected structure must
+not. Regenerate with tools/make_akaze_golden.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from regard3d_tpu.kernels import detect
+from regard3d_tpu.kernels import scale_space as ss
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "akaze_golden.npz")
+THRESHOLDS = [0.001, 0.0007, 0.0005, 0.0001]
+
+# gate bounds (measured headroom: recall ~0.75-0.8, count ratio ~0.5-0.8)
+MIN_RECALL = 0.60
+COUNT_RATIO = (0.35, 2.5)
+MAX_MEDIAN_POS_ERR = 0.6      # px, on matched pairs
+MAX_MEDIAN_SIZE_LOGRATIO = np.log(1.45)   # ~1.5 sublevels
+MAX_MEDIAN_ANGLE_ERR = 0.45   # rad, on matched pairs
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(DATA)
+
+
+def _detect_batch(images_u8, thr):
+    img = jnp.asarray(images_u8.astype(np.float32) / 255.0)
+    cfg = ss.ScaleSpaceConfig(dthreshold=float(thr))
+    return detect.detect_akaze(img, cfg=cfg, max_keypoints=4096)
+
+
+def _match_stats(ref, xy, size, angle):
+    """ref: (R, 7) oracle rows [x y size angle response octave class]."""
+    if len(ref) == 0 or len(xy) == 0:
+        return None
+    d2 = ((ref[:, None, 0] - xy[None, :, 0]) ** 2
+          + (ref[:, None, 1] - xy[None, :, 1]) ** 2)
+    j = np.argmin(d2, axis=1)
+    d = np.sqrt(d2[np.arange(len(ref)), j])
+    close = d < 2.0
+    recall = close.mean()
+    pos_err = np.median(d[close]) if close.any() else np.inf
+    szl = np.abs(np.log(np.maximum(size[j], 1e-6) / ref[:, 2]))
+    size_err = np.median(szl[close]) if close.any() else np.inf
+    dang = np.abs(np.angle(np.exp(1j * (angle[j] - ref[:, 3]))))
+    ang_err = np.median(dang[close]) if close.any() else np.inf
+    return dict(recall=recall, pos_err=pos_err, size_err=size_err,
+                ang_err=ang_err)
+
+
+@pytest.mark.parametrize("thr", THRESHOLDS)
+def test_detector_matches_reference_output(golden, thr):
+    imgs = golden["images"]
+    kps = _detect_batch(imgs, thr)
+    mask = np.asarray(kps.mask)
+    for i in range(imgs.shape[0]):
+        ref = golden[f"kp_{i}_{thr:g}"]
+        m = mask[i]
+        xy = np.asarray(kps.xy[i])[m]
+        size = np.asarray(kps.scale[i])[m]
+        angle = np.asarray(kps.angle[i])[m]
+
+        ratio = len(xy) / max(len(ref), 1)
+        assert COUNT_RATIO[0] <= ratio <= COUNT_RATIO[1], (
+            f"img {i} thr {thr}: count {len(xy)} vs oracle {len(ref)}")
+
+        s = _match_stats(ref, xy, size, angle)
+        assert s is not None
+        assert s["recall"] >= MIN_RECALL, (i, thr, s)
+        assert s["pos_err"] <= MAX_MEDIAN_POS_ERR, (i, thr, s)
+        assert s["size_err"] <= MAX_MEDIAN_SIZE_LOGRATIO, (i, thr, s)
+        assert s["ang_err"] <= MAX_MEDIAN_ANGLE_ERR, (i, thr, s)
+
+
+def test_count_monotonic_in_sensitivity(golden):
+    """Lower threshold (higher sensitivity preset) => more keypoints, for
+    both the oracle and our detector (preset semantics parity)."""
+    imgs = golden["images"]
+    ours = []
+    for thr in THRESHOLDS:
+        kps = _detect_batch(imgs, thr)
+        ours.append(np.asarray(kps.mask).sum(1))
+    ours = np.stack(ours)                      # (T, B) descending thr
+    for t in range(len(THRESHOLDS) - 1):
+        assert (ours[t + 1] >= ours[t]).all(), ours
