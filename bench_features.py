@@ -91,11 +91,14 @@ def bench_ransac(block=16, cap=2048, iters=1024, reps=6):
 
 def bench_cpu_features(hw=1024, reps=3):
     """Measured CPU reference for the feature stage: the reference's own
-    vendored AKAZE detector (/root/reference/src/thirdparty/akaze/lib)
-    compiled out-of-tree (native/akaze_oracle, OpenMP) and timed on the
-    same-size image on this host. Detector-only (no LIOP) — a lower bound
-    on the reference's per-image cost, i.e. conservative *against* the TPU
-    ratio. Returns imgs/s or None when the oracle cannot be built."""
+    vendored AKAZE detector + VLFeat LIOP descriptor
+    (/root/reference/src/thirdparty/{akaze/lib,liop}) compiled out-of-tree
+    (native/akaze_oracle, OpenMP over keypoints like the reference's P3)
+    and timed on the same-size image on this host. It describes every
+    keypoint it detects (~2.9k at threshold 0.001 on this image) vs the
+    TPU side's fixed 4096 — slightly less work, i.e. conservative
+    *against* the TPU ratio. Returns imgs/s or None when the oracle
+    cannot be built."""
     import os
     import subprocess
     import tempfile
@@ -234,8 +237,8 @@ def main():
         "ransac_detail": "ACRANSAC-F blocks, 2048 pts x 1024 iters",
         "backend": jax.default_backend(),
         "cpu_features_imgs_per_s": cpu_feats and round(cpu_feats, 3),
-        "cpu_features_detail": "reference vendored AKAZE (akaze_oracle, "
-                               "OpenMP) on this host, detector only",
+        "cpu_features_detail": "reference vendored AKAZE + VLFeat LIOP "
+                               "(akaze_oracle, OpenMP) on this host",
         "cpu_ransac_pairs_per_s": cpu_rans and round(cpu_rans, 3),
         "cpu_ransac_detail": "NumPy/LAPACK vectorized same-workload "
                              "ACRANSAC-F on this host",

@@ -16,6 +16,66 @@
 
 #include "AKAZE.h"
 
+#ifdef WITH_LIOP
+extern "C" {
+#include "vl_liop.h"
+}
+
+// Reference LIOP stage (Regard3DFeatures.cpp:766-827): inverse-map affine
+// patch warp -> Gaussian smooth sigma=1.2 -> r3d_vl_liopdesc_process, with
+// an OpenMP parallel-for over keypoints like the reference (P3).
+static void describe_liop(const cv::Mat& img,
+                          const std::vector<cv::KeyPoint>& kpts,
+                          std::vector<float>& descs) {
+  const int patchResolution = 20;
+  const int patchSize = 2 * patchResolution + 1;
+  const float kpSizeFactor = 8.0f;
+  descs.assign(kpts.size() * 144, 0.f);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    VlLiopDesc* liop = r3d_vl_liopdesc_new_basic((vl_size)patchSize);
+    cv::Mat patch(patchSize, patchSize, CV_32F);
+    cv::Mat smooth(patchSize, patchSize, CV_32F);
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (int i = 0; i < (int)kpts.size(); i++) {
+      const cv::KeyPoint& kp = kpts[i];
+      // kp.angle is radians here; Regard3D's chain (rad->deg + 90 deg fix,
+      // then -90-angle_deg, src/Regard3DFeatures.cpp:604-613,771) nets out
+      // to theta = -pi - angle_rad
+      float angle = -(float)CV_PI - kp.angle;
+      float scale = kp.size / patchSize * kpSizeFactor;
+      float ca = scale * std::cos(angle), sa = scale * std::sin(angle);
+      for (int v = 0; v < patchSize; v++)
+        for (int u = 0; u < patchSize; u++) {
+          float du = (float)(u - patchResolution);
+          float dv = (float)(v - patchResolution);
+          float sx = kp.pt.x + ca * du + sa * dv;
+          float sy = kp.pt.y - sa * du + ca * dv;
+          int x0 = (int)std::floor(sx), y0 = (int)std::floor(sy);
+          float wx = sx - x0, wy = sy - y0;
+          float acc = 0.f;
+          for (int t = 0; t < 4; t++) {
+            int xi = x0 + (t & 1), yi = y0 + (t >> 1);
+            if (xi < 0 || xi >= img.cols || yi < 0 || yi >= img.rows)
+              continue;
+            float w = (t & 1 ? wx : 1 - wx) * (t >> 1 ? wy : 1 - wy);
+            acc += w * img.at<float>(yi, xi);
+          }
+          patch.at<float>(v, u) = acc;
+        }
+      cv::GaussianBlur(patch, smooth, cv::Size(0, 0), 1.2);
+      r3d_vl_liopdesc_process(liop, &descs[i * 144],
+                              smooth.ptr<float>(0));
+    }
+    r3d_vl_liopdesc_delete(liop);
+  }
+}
+#endif  // WITH_LIOP
+
 // --- tiny definitions for utils.h symbols AKAZE.cpp's (never-called)
 // save/debug paths reference; utils.cpp itself is not compiled.
 void compute_min_32F(const cv::Mat& src, float& value) {
@@ -89,6 +149,11 @@ int main(int argc, char** argv) {
       akaze.Feature_Detection(kpts);
       for (size_t i = 0; i < kpts.size(); i++)
         akaze.Compute_Main_Orientation(kpts[i]);
+#ifdef WITH_LIOP
+      std::vector<float> descs;
+      describe_liop(img, kpts, descs);
+      if (descs.size() > 7) descs[7] += 0.f;   // keep the stage live
+#endif
     }
     double dt = ((double)cv::getTickCount() - t0) / cv::getTickFrequency();
     printf("{\"imgs\": %d, \"seconds\": %.6f, \"imgs_per_s\": %.4f, "

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from regard3d_tpu.core import cameras
 
@@ -104,7 +105,10 @@ def smallest_eigvec(AtA, iters: int = 2):
     still dominate the old batched ``eigh`` by ~50x on TPU."""
     S, n, _ = AtA.shape
     tr = jnp.trace(AtA, axis1=-2, axis2=-1)
-    eps = 1e-8 * tr + 1e-30
+    # the shift must dominate f32 roundoff in AtA (the numerical lambda_min
+    # of a rank-deficient Gram matrix can be NEGATIVE ~ -1e-7*tr, where a
+    # smaller shift makes Cholesky produce NaN)
+    eps = 3e-7 * tr + 1e-30
     M = AtA + eps[:, None, None] * jnp.eye(n, dtype=AtA.dtype)
     # fixed unstructured start vector (irrational mix; never exactly
     # orthogonal to a data nullspace in float)
@@ -430,6 +434,408 @@ def decompose_essential(E, x1, x2):
     tt = ts[jnp.arange(S), best]
     ngood = counts[jnp.arange(S), best]
     return R, tt, ngood
+
+
+# ---------------------------------------------------------------------------
+# Batched polynomial root finding + pivoted solves (minimal-solver support)
+# ---------------------------------------------------------------------------
+
+def lu_solve(A, B):
+    """Unrolled partial-pivot Gaussian elimination, batched.
+    A: (S, n, n), B: (S, n, m) -> X with A @ X = B. n static & small."""
+    S, n, _ = A.shape
+    M = jnp.concatenate([A, B], -1)                    # (S, n, n+m)
+    for k in range(n):
+        col = jnp.abs(M[:, :, k])
+        col = jnp.where(jnp.arange(n)[None, :] < k, -1.0, col)
+        p = jnp.argmax(col, axis=1)
+        rows = jnp.broadcast_to(jnp.arange(n)[None, :], (S, n))
+        rk = jnp.where(rows == k, p[:, None],
+                       jnp.where(rows == p[:, None], k, rows))
+        M = jnp.take_along_axis(M, rk[:, :, None], axis=1)
+        piv = M[:, k:k + 1, :]
+        den = piv[:, :, k:k + 1]
+        den = jnp.where(jnp.abs(den) > 1e-20, den,
+                        jnp.where(den >= 0, 1e-20, -1e-20))
+        fac = M[:, :, k:k + 1] / den
+        mask = (jnp.arange(n)[None, :, None] != k)
+        M = M - jnp.where(mask, fac * piv, 0.0)
+    den = jnp.diagonal(M[:, :, :n], axis1=1, axis2=2)[..., None]
+    den = jnp.where(jnp.abs(den) > 1e-20, den,
+                    jnp.where(den >= 0, 1e-20, -1e-20))
+    return M[:, :, n:] / den
+
+
+def poly_roots(coeffs, iters: int = 60):
+    """All complex roots of polynomials by Durand–Kerner iteration.
+
+    coeffs: (S, D+1) ASCENDING (coeffs[..., k] multiplies z^k), complex or
+    real. Fully batched/elementwise — the TPU substitute for companion-
+    matrix eigensolvers (no nonsymmetric eig on TPU). Returns (S, D)
+    complex roots."""
+    coeffs = coeffs.astype(jnp.complex64)
+    S, D1 = coeffs.shape
+    D = D1 - 1
+    lead = coeffs[:, -1:]
+    lead = jnp.where(jnp.abs(lead) > 1e-25, lead, 1e-25)
+    c = coeffs / lead                                   # monic
+    # root bound (Cauchy): 1 + max |c_k|
+    bound = 1.0 + jnp.max(jnp.abs(c[:, :-1]), axis=1, keepdims=True)
+    k = jnp.arange(D)
+    init = (0.4 + 0.9j) ** (k + 1)
+    z = init[None, :] * bound.astype(jnp.complex64)
+
+    powers = jnp.arange(D1)
+
+    def p_of(z):
+        return jnp.sum(c[:, None, :] * z[..., None] ** powers, -1)
+
+    def body(_, z):
+        pz = p_of(z)
+        diff = z[:, :, None] - z[:, None, :]
+        diff = jnp.where(jnp.eye(D, dtype=bool), 1.0, diff)
+        denom = jnp.prod(diff, axis=-1)
+        denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        return z - pz / denom
+
+    # rolled loop: the unrolled iteration made XLA graphs (and compiles)
+    # ~iters x larger for zero runtime benefit
+    return jax.lax.fori_loop(0, iters, body, z)
+
+
+def kabsch(Pw, Pc):
+    """Rigid transform world->camera from point pairs: finds (R, C) with
+    Pc ~ R (Pw - C). Pw, Pc: (S, n, 3) (n >= 3)."""
+    mw = Pw.mean(-2, keepdims=True)
+    mc = Pc.mean(-2, keepdims=True)
+    H = jnp.einsum("sni,snj->sij", Pc - mc, Pw - mw)
+    U, _, Vt = svd3x3(H)
+    R = U @ Vt
+    # svd3x3 returns proper rotations (det +1) by construction
+    C = mw[:, 0] - jnp.einsum("sji,sj->si", R, mc[:, 0])
+    return R, C
+
+
+# ---------------------------------------------------------------------------
+# Nistér 5-point essential solver, batched.
+#
+# The reference's OpenMVG essential ACRANSAC uses the 5-point minimal
+# solver (SURVEY §2.3/§7): minimal samples keep RANSAC's inlier-sample
+# probability high at large outlier ratios and avoid the 8-point solver's
+# planar degeneracy. TPU formulation: the classical action reduces to
+# (a) a 4-dim nullspace via subspace inverse iteration (no LAPACK eigh),
+# (b) host-precomputed monomial multiplication tables turning the ten
+# cubic constraints into a batched (S, 10, 20) coefficient tensor,
+# (c) one pivoted 10x10 solve, (d) a degree-10 univariate polynomial whose
+# roots come from batched Durand–Kerner iteration + real Newton polish
+# (no nonsymmetric eigensolver exists on TPU).
+# ---------------------------------------------------------------------------
+
+# monomial power tuples; order follows Nistér's elimination grouping
+_MON3 = [(3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1), (2, 0, 0),
+         (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0), (1, 0, 2), (1, 0, 1),
+         (1, 0, 0), (0, 1, 2), (0, 1, 1), (0, 1, 0), (0, 0, 3), (0, 0, 2),
+         (0, 0, 1), (0, 0, 0)]
+_LIN = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+_QUAD = [(2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1), (0, 1, 1),
+         (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+_M3IDX = {m: i for i, m in enumerate(_MON3)}
+_QIDX = {m: i for i, m in enumerate(_QUAD)}
+
+
+def _padd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _mul_ll(a, b):
+    """(..., 4) x (..., 4) linear forms -> (..., 10) quadratic coeffs."""
+    out = [0.0] * 10
+    for i, pi in enumerate(_LIN):
+        for j, pj in enumerate(_LIN):
+            out[_QIDX[_padd(pi, pj)]] = (out[_QIDX[_padd(pi, pj)]]
+                                         + a[..., i] * b[..., j])
+    return jnp.stack(out, -1)
+
+
+def _mul_ql(a, b):
+    """(..., 10) quadratic x (..., 4) linear -> (..., 20) cubic coeffs."""
+    out = [0.0] * 20
+    for i, pi in enumerate(_QUAD):
+        for j, pj in enumerate(_LIN):
+            out[_M3IDX[_padd(pi, pj)]] = (out[_M3IDX[_padd(pi, pj)]]
+                                          + a[..., i] * b[..., j])
+    return jnp.stack(out, -1)
+
+
+def _polymul(a, b):
+    """1-D polynomial product over the last axis (ascending coeffs)."""
+    la = a.shape[-1]
+    lb = b.shape[-1]
+    out = [0.0] * (la + lb - 1)
+    for i in range(la):
+        for j in range(lb):
+            out[i + j] = out[i + j] + a[..., i] * b[..., j]
+    return jnp.stack(out, -1)
+
+
+def _nullspace4(AtA, iters: int = 3):
+    """4 smallest-eigenvalue eigenvectors of PSD (S, 9, 9) by subspace
+    inverse iteration + unrolled Gram-Schmidt."""
+    S = AtA.shape[0]
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)
+    # shift above f32 Gram-matrix roundoff (see smallest_eigvec)
+    eps = 1e-6 * tr + 1e-30
+    M = AtA + eps[:, None, None] * jnp.eye(9, dtype=AtA.dtype)
+    rng = np.random.default_rng(7)
+    V = jnp.broadcast_to(
+        jnp.asarray(rng.normal(size=(9, 4)), AtA.dtype), (S, 9, 4))
+
+    def orthonormalize(V):
+        cols = []
+        for c in range(4):
+            v = V[..., c]
+            for u in cols:
+                v = v - jnp.sum(v * u, -1, keepdims=True) * u
+            m = jnp.max(jnp.abs(v), -1, keepdims=True)
+            v = v / jnp.maximum(m, 1e-30)
+            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+            fallback = jnp.zeros_like(v).at[..., c].set(1.0)
+            v = jnp.where(n > 1e-12, v / jnp.maximum(n, 1e-30), fallback)
+            cols.append(v)
+        return jnp.stack(cols, -1)
+
+    for _ in range(iters):
+        V = jax.vmap(lambda b: chol_solve(M, b), in_axes=2, out_axes=2)(V)
+        V = orthonormalize(V)
+    return V                                            # (S, 9, 4)
+
+
+def fit_essential_5pt(x1, x2):
+    """Nistér 5-point essential. x1, x2: (S, 5, 2) normalized camera
+    coords. Returns (E (S, 10, 3, 3), ok (S, 10)) — up to 10 real
+    solutions per sample; invalid slots masked."""
+    S = x1.shape[0]
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    ones = jnp.ones_like(u1)
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2,
+                   u1, v1, ones], -1)                    # (S, 5, 9)
+    # row-normalize (nullspace-invariant): keeps the Gram matrix O(1) so
+    # the inverse-iteration shift separates nullspace from data directions
+    # even for points near a camera plane (huge normalized coords)
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    AtA = jnp.einsum("smi,smj->sij", A, A)
+    N4 = _nullspace4(AtA)                                # (S, 9, 4)
+    # E(x,y,z) entries as linear forms over [x, y, z, 1]
+    e = N4.reshape(S, 3, 3, 4)
+
+    def lin(i, j):
+        return e[:, i, j]
+
+    # det(E) cubic
+    def det3():
+        terms = []
+        for (i0, i1, i2, sgn) in (((0, 0), (1, 1), (2, 2), 1.0),
+                                  ((0, 1), (1, 2), (2, 0), 1.0),
+                                  ((0, 2), (1, 0), (2, 1), 1.0),
+                                  ((0, 2), (1, 1), (2, 0), -1.0),
+                                  ((0, 0), (1, 2), (2, 1), -1.0),
+                                  ((0, 1), (1, 0), (2, 2), -1.0)):
+            q = _mul_ll(lin(*i0), lin(*i1))
+            terms.append(sgn * _mul_ql(q, lin(*i2)))
+        return sum(terms)
+
+    # EE^T entries (quadratic) and the trace constraint cubics
+    EEt = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            s = None
+            for k in range(3):
+                q = _mul_ll(lin(i, k), lin(j, k))
+                s = q if s is None else s + q
+            EEt[i][j] = s
+    trEEt = EEt[0][0] + EEt[1][1] + EEt[2][2]            # (S, 10)
+
+    rows = [det3()]
+    for i in range(3):
+        for j in range(3):
+            s = None
+            for k in range(3):
+                c = _mul_ql(EEt[i][k], lin(k, j))
+                s = c if s is None else s + c
+            rows.append(2.0 * s - _mul_ql(trEEt, lin(i, j)))
+    M = jnp.stack(rows, 1)                               # (S, 10, 20)
+
+    # Gauss-Jordan: reduce the 10 leading monomials (+ one iterative
+    # refinement pass: the 10x10 is the conditioning bottleneck in f32)
+    A10 = M[:, :, :10]
+    B10 = M[:, :, 10:]
+    C10 = lu_solve(A10, B10)                             # (S, 10, 10)
+    C10 = C10 + lu_solve(A10, B10 - jnp.einsum(
+        "sij,sjk->sik", A10, C10))
+    # rows <e>..<j> lead with x^2 z, x^2, y^2 z, y^2, xyz, xy (indices 4-9)
+    ce, cf, cg, ch, ci, cj = (C10[:, r] for r in range(4, 10))
+
+    def row_polys(c_hi, c_lo):
+        """<hi> - z*<lo>: returns (alpha(z) deg3, beta(z) deg3,
+        gamma(z) deg4) ascending coefficient arrays."""
+        def shift(p):   # multiply by z: ascending shift
+            return jnp.concatenate([jnp.zeros_like(p[..., :1]), p], -1)
+        # B-monomial layout: [xz^2, xz, x, yz^2, yz, y, z^3, z^2, z, 1]
+        ax = jnp.stack([c_hi[:, 2], c_hi[:, 1], c_hi[:, 0]], -1)  # deg2 asc
+        bx = jnp.stack([c_hi[:, 5], c_hi[:, 4], c_hi[:, 3]], -1)
+        gx = jnp.stack([c_hi[:, 9], c_hi[:, 8], c_hi[:, 7],
+                        c_hi[:, 6]], -1)                           # deg3 asc
+        al = jnp.stack([c_lo[:, 2], c_lo[:, 1], c_lo[:, 0]], -1)
+        bl = jnp.stack([c_lo[:, 5], c_lo[:, 4], c_lo[:, 3]], -1)
+        gl = jnp.stack([c_lo[:, 9], c_lo[:, 8], c_lo[:, 7],
+                        c_lo[:, 6]], -1)
+        pad1 = lambda p: jnp.concatenate(
+            [p, jnp.zeros_like(p[..., :1])], -1)
+        alpha = pad1(ax) - shift(al)                     # deg3 (4)
+        beta = pad1(bx) - shift(bl)
+        gamma = pad1(gx) - shift(gl)                     # deg4 (5)
+        return alpha, beta, gamma
+
+    a1, b1, g1 = row_polys(ce, cf)
+    a2, b2, g2 = row_polys(cg, ch)
+    a3, b3, g3 = row_polys(ci, cj)
+
+    # the constraint rows read: x*alpha + y*beta + gamma = 0 at solutions;
+    # wait — the reduced rows are [lead | C10] = 0, i.e. lead = -C10 part.
+    # <hi> - z<lo> eliminates the leads, leaving exactly the B-part
+    # combination = 0, so the sign convention above is consistent.
+    # det of [[a1 b1 g1], [a2 b2 g2], [a3 b3 g3]] -> degree-10 polynomial
+    def pdet():
+        m1 = _polymul(b2, g3) - _polymul(b3, g2)         # deg 7 (8)
+        m2 = _polymul(a2, g3) - _polymul(a3, g2)
+        m3 = _polymul(a2, b3) - _polymul(a3, b2)         # deg 6 (7)
+        return (_polymul(a1, m1) - _polymul(b1, m2)
+                + _polymul(g1, m3))                      # deg 10 (11)
+
+    n10 = pdet()
+    roots = poly_roots(n10, iters=80)                    # (S, 10) complex
+    z = jnp.real(roots)
+    real = jnp.abs(jnp.imag(roots)) < 1e-2 * (1.0 + jnp.abs(z))
+
+    # Newton polish on the real polynomial
+    powers = jnp.arange(11, dtype=x1.dtype)
+    dcoef = n10[:, 1:] * jnp.arange(1, 11, dtype=x1.dtype)
+    for _ in range(3):
+        pz = jnp.sum(n10[:, None, :] * z[..., None] ** powers, -1)
+        dz = jnp.sum(dcoef[:, None, :] * z[..., None] ** powers[:10], -1)
+        dz = jnp.where(jnp.abs(dz) > 1e-25, dz,
+                       jnp.where(dz >= 0, 1e-25, -1e-25))
+        z = z - pz / dz
+
+    def peval(p, zz):
+        pw = jnp.arange(p.shape[-1], dtype=zz.dtype)
+        return jnp.sum(p[:, None, :] * zz[..., None] ** pw, -1)
+
+    A1 = peval(a1, z); B1 = peval(b1, z); G1 = peval(g1, z)
+    A2 = peval(a2, z); B2 = peval(b2, z); G2 = peval(g2, z)
+    A3 = peval(a3, z); B3 = peval(b3, z); G3 = peval(g3, z)
+    # solve the best-conditioned 2x2 of the three row pairs for (x, y)
+    dets = jnp.stack([A1 * B2 - A2 * B1, A1 * B3 - A3 * B1,
+                      A2 * B3 - A3 * B2], -1)            # (S, 10, 3)
+    pick = jnp.argmax(jnp.abs(dets), -1)
+    d = jnp.take_along_axis(dets, pick[..., None], -1)[..., 0]
+    d = jnp.where(jnp.abs(d) > 1e-20, d,
+                  jnp.where(d >= 0, 1e-20, -1e-20))
+    xs = jnp.stack([(-G1 * B2 + G2 * B1), (-G1 * B3 + G3 * B1),
+                    (-G2 * B3 + G3 * B2)], -1)
+    ys = jnp.stack([(-A1 * G2 + A2 * G1), (-A1 * G3 + A3 * G1),
+                    (-A2 * G3 + A3 * G2)], -1)
+    xv = jnp.take_along_axis(xs, pick[..., None], -1)[..., 0] / d
+    yv = jnp.take_along_axis(ys, pick[..., None], -1)[..., 0] / d
+
+    # assemble E = x B1 + y B2 + z B3 + B4 per root
+    basis = N4.reshape(S, 1, 3, 3, 4)
+    E = (xv[..., None, None] * basis[..., 0]
+         + yv[..., None, None] * basis[..., 1]
+         + z[..., None, None] * basis[..., 2]
+         + basis[..., 3])                                # (S, 10, 3, 3)
+    nrm = jnp.linalg.norm(E.reshape(S, 10, 9), axis=-1)
+    ok = real & (nrm > 1e-12) & jnp.isfinite(E).all((-2, -1))
+    E = E / jnp.maximum(nrm, 1e-12)[..., None, None]
+    return E, ok
+
+
+# ---------------------------------------------------------------------------
+# P3P (Grunert's quartic) — the minimal resection solver OpenMVG uses
+# inside ACRANSAC (SURVEY §2.3; replaces 6-pt DLT minimal samples)
+# ---------------------------------------------------------------------------
+
+def p3p_grunert(X, x):
+    """Poses from 3 world points + 3 normalized image points.
+
+    X: (S, 3, 3) world points; x: (S, 3, 2) normalized camera coords.
+    Returns (R (S, 4, 3, 3), C (S, 4, 3), ok (S, 4)) — up to 4 solutions
+    per sample (Grunert 1841 / Haralick's review: law-of-cosines system
+    reduced to a quartic; solved batched by Durand–Kerner)."""
+    S = X.shape[0]
+    f = to_h(x)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)   # (S, 3, 3) bearings
+    P1, P2, P3 = X[:, 0], X[:, 1], X[:, 2]
+    a2 = jnp.sum((P2 - P3) ** 2, -1)
+    b2 = jnp.sum((P1 - P3) ** 2, -1)
+    c2 = jnp.sum((P1 - P2) ** 2, -1)
+    b2s = jnp.maximum(b2, 1e-20)
+    ca = jnp.sum(f[:, 1] * f[:, 2], -1)                  # cos(alpha)
+    cb = jnp.sum(f[:, 0] * f[:, 2], -1)                  # cos(beta)
+    cg = jnp.sum(f[:, 0] * f[:, 1], -1)                  # cos(gamma)
+
+    p = (a2 - c2) / b2s
+    q = (a2 + c2) / b2s
+    A4 = (p - 1.0) ** 2 - 4.0 * (c2 / b2s) * ca ** 2
+    A3 = 4.0 * (p * (1.0 - p) * cb - (1.0 - q) * ca * cg
+                + 2.0 * (c2 / b2s) * ca ** 2 * cb)
+    A2 = 2.0 * (p ** 2 - 1.0 + 2.0 * p ** 2 * cb ** 2
+                + 2.0 * ((b2 - c2) / b2s) * ca ** 2
+                - 4.0 * q * ca * cb * cg
+                + 2.0 * ((b2 - a2) / b2s) * cg ** 2)
+    A1 = 4.0 * (-p * (1.0 + p) * cb + 2.0 * (a2 / b2s) * cg ** 2 * cb
+                - (1.0 - q) * ca * cg)
+    A0 = (1.0 + p) ** 2 - 4.0 * (a2 / b2s) * cg ** 2
+
+    coeffs = jnp.stack([A0, A1, A2, A3, A4], -1)          # ascending
+    roots = poly_roots(coeffs)                            # (S, 4) complex
+    v = jnp.real(roots)
+    real = jnp.abs(jnp.imag(roots)) < 1e-3 * (1.0 + jnp.abs(v))
+    # Newton polish in real arithmetic (f32 quartics are ill-conditioned)
+    for _ in range(3):
+        q = (((A4[:, None] * v + A3[:, None]) * v + A2[:, None]) * v
+             + A1[:, None]) * v + A0[:, None]
+        dq = ((4.0 * A4[:, None] * v + 3.0 * A3[:, None]) * v
+              + 2.0 * A2[:, None]) * v + A1[:, None]
+        dq = jnp.where(jnp.abs(dq) > 1e-12, dq,
+                       jnp.where(dq >= 0, 1e-12, -1e-12))
+        v = v - q / dq
+
+    # back-substitution: u from v
+    den_u = 2.0 * (cg[:, None] - v * ca[:, None])
+    den_u = jnp.where(jnp.abs(den_u) > 1e-12, den_u,
+                      jnp.where(den_u >= 0, 1e-12, -1e-12))
+    u = ((-1.0 + p[:, None]) * v ** 2
+         - 2.0 * p[:, None] * cb[:, None] * v + 1.0 + p[:, None]) / den_u
+    s1sq = b2s[:, None] / jnp.maximum(
+        1.0 + v ** 2 - 2.0 * v * cb[:, None], 1e-12)
+    ok = real & (s1sq > 0) & (u > 0) & (v > 0)
+    s1 = jnp.sqrt(jnp.maximum(s1sq, 0.0))
+    s2 = u * s1
+    s3 = v * s1
+
+    # camera-frame points; absolute orientation per candidate via Kabsch
+    Pc = jnp.stack([s1[..., None] * f[:, None, 0],
+                    s2[..., None] * f[:, None, 1],
+                    s3[..., None] * f[:, None, 2]], -2)   # (S, 4, 3pts, 3)
+    Pw = jnp.broadcast_to(X[:, None], Pc.shape)
+    R, C = kabsch(Pw.reshape(-1, 3, 3), Pc.reshape(-1, 3, 3))
+    R = R.reshape(S, 4, 3, 3)
+    C = C.reshape(S, 4, 3)
+    ok = ok & jnp.isfinite(R).all((-2, -1)) & jnp.isfinite(C).all(-1)
+    return R, C, ok
 
 
 # ---------------------------------------------------------------------------

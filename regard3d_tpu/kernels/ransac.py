@@ -194,6 +194,48 @@ def _f_one(key, x1, x2, mask, logalpha0, max_err_sq, iters: int):
 
 
 def _e_one(key, x1n, x2n, mask, logalpha0, max_err_sq, iters: int):
+    """Essential ACRANSAC with Nistér 5-point minimal samples (the solver
+    OpenMVG's essential filter uses — SURVEY §2.3): each sample yields up
+    to 10 E candidates, all scored; the a-contrario threshold, weighted
+    8-point least-squares refit, and inlier extraction reuse the generic
+    machinery. 5-point samples keep the all-inlier probability high at
+    large outlier ratios and are immune to the 8-point planar degeneracy."""
+    n = mask.shape[0]
+    data = {"x1": x1n, "x2": x2n}
+    idx = _draw_samples(key, mask, iters, 5)
+    models, okm = geometry.fit_essential_5pt(x1n[idx], x2n[idx])
+    models = models.reshape(-1, 3, 3)                     # (iters*10, 3, 3)
+    okm = okm.reshape(-1)
+    resid = geometry.epipolar_dist_f(models, x1n[None], x2n[None])
+    resid = jnp.where(mask[None, :] & okm[:, None], resid, _BIG)
+
+    score = jnp.sum(jnp.minimum(resid, max_err_sq), axis=1)
+    best = jnp.argmin(score)
+    model = models[best]
+    r_best = resid[best]
+
+    thr_sq, log_nfa, _ = _nfa_threshold(r_best, mask, 5, logalpha0, 1.0,
+                                        max_err_sq)
+    inliers = mask & (r_best <= thr_sq)
+
+    refit = geometry.fit_essential_8pt(
+        x1n[None], x2n[None], inliers[None].astype(jnp.float32))
+    model2 = refit[0]
+    r2 = jnp.where(mask, geometry.epipolar_dist_f(
+        model2[None], x1n[None], x2n[None])[0], _BIG)
+    thr2, nfa2, _ = _nfa_threshold(r2, mask, 5, logalpha0, 1.0, max_err_sq)
+    better = nfa2 <= log_nfa
+    model = jnp.where(better, model2, model)
+    inliers = jnp.where(better, mask & (r2 <= thr2), inliers)
+    thr_sq = jnp.where(better, thr2, thr_sq)
+    log_nfa = jnp.minimum(nfa2, log_nfa)
+
+    num = jnp.sum(inliers.astype(jnp.int32))
+    valid = (log_nfa < 0.0) & (num >= 6) & okm[best]
+    return RansacResult(model, inliers, num, thr_sq, log_nfa, valid)
+
+
+def _e_one_8pt(key, x1n, x2n, mask, logalpha0, max_err_sq, iters: int):
     return ransac(
         key, {"x1": x1n, "x2": x2n}, mask,
         fit_fn=lambda d, weights=None: geometry.fit_essential_8pt(
@@ -275,16 +317,29 @@ class ResectionResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "focal_px",
-                                             "max_err_px"))
+                                             "max_err_px", "solver"))
 def acransac_resection(key, X, xn, mask, focal_px: float = 1.0,
                        iters: int = 512,
-                       max_err_px: float = 4.0) -> ResectionResult:
-    """Robust 6-point DLT resection on normalized camera coords (the
-    incremental engine's add-view step; OpenMVG uses P3P/EPnP+ACRANSAC)."""
+                       max_err_px: float = 4.0,
+                       solver: str = "p3p") -> ResectionResult:
+    """Robust resection on normalized camera coords (the incremental
+    engine's add-view step). ``solver="p3p"`` draws minimal 3-point
+    samples and scores all (up to 4) Grunert poses per sample — the
+    minimal solver OpenMVG's ACRANSAC resection uses, whose small sample
+    keeps the inlier-sample probability high at large outlier ratios;
+    ``solver="dlt"`` keeps the 6-point DLT hypotheses. Either way the
+    winner gets the Gauss-Newton polish + consensus recount below."""
     max_err = (max_err_px / focal_px) ** 2
 
-    idx = _draw_samples(key, mask, iters, 6)
-    R, C, okm = geometry.resection_dlt(X[idx], xn[idx])
+    if solver == "p3p":
+        idx = _draw_samples(key, mask, iters, 3)
+        Rp, Cp, okp = geometry.p3p_grunert(X[idx], xn[idx])
+        R = Rp.reshape(-1, 3, 3)
+        C = Cp.reshape(-1, 3)
+        okm = okp.reshape(-1)
+    else:
+        idx = _draw_samples(key, mask, iters, 6)
+        R, C, okm = geometry.resection_dlt(X[idx], xn[idx])
     resid = geometry.reprojection_err_normalized(R, C, X[None], xn[None])
     resid = jnp.where(mask[None, :] & okm[:, None], resid, _BIG)
     score = jnp.sum(jnp.minimum(resid, max_err), axis=1)

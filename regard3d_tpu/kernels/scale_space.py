@@ -21,6 +21,7 @@ derivative_factor=1.5, tau_max=0.25.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import List, Sequence
 
@@ -112,10 +113,52 @@ def _pad_reflect101(img, py: int, px: int):
     return jnp.pad(img, ((0, 0), (py, py), (px, px)), mode="reflect")
 
 
-def conv_sep(img, kx: np.ndarray, ky: np.ndarray):
-    """Separable 2D convolution on (B, H, W). kx applies along width (x),
-    ky along height (y). Correlation convention (OpenCV filter2D parity)."""
+@functools.lru_cache(maxsize=256)
+def _band_matrix(n: int, kernel_bytes: bytes) -> np.ndarray:
+    """Dense banded correlation matrix with reflect-101 borders:
+    out[i] = sum_j M[i, j] in[j].  Cached per (length, kernel)."""
+    k = np.frombuffer(kernel_bytes, np.float32)
+    r = len(k) // 2
+    M = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for t in range(len(k)):
+        j = idx + t - r
+        j = np.abs(j)                       # reflect-101 left
+        j = np.where(j >= n, 2 * n - 2 - j, j)
+        np.add.at(M, (idx, j), k[t])
+    return M
+
+
+def conv_sep_matmul(img, kx: np.ndarray, ky: np.ndarray):
+    """Separable 2D correlation as two banded matmuls.
+
+    TPU rationale: XLA lowers single-channel convolutions far off the MXU
+    peak; expressing each 1-D pass as a dense (n, n) banded matrix product
+    keeps the whole scale-space build on the MXU. Borders (reflect-101)
+    are baked into the band matrices, so results match ``conv_sep``."""
     B, H, W = img.shape
+    Mx = jnp.asarray(_band_matrix(W, np.asarray(kx, np.float32).tobytes()))
+    My = jnp.asarray(_band_matrix(H, np.asarray(ky, np.float32).tobytes()))
+    # x pass: out[b, y, x] = sum_j img[b, y, j] Mx[x, j]
+    out = jnp.einsum("byj,xj->byx", img, Mx,
+                     preferred_element_type=jnp.float32)
+    # y pass: out[b, y, x] = sum_j My[y, j] out[b, j, x]
+    return jnp.einsum("yj,bjx->byx", My, out,
+                      preferred_element_type=jnp.float32)
+
+
+def conv_sep(img, kx: np.ndarray, ky: np.ndarray, use_matmul=None):
+    """Separable 2D convolution on (B, H, W). kx applies along width (x),
+    ky along height (y). Correlation convention (OpenCV filter2D parity).
+
+    On TPU backends large planes route to the banded-matmul formulation
+    (MXU); other backends/small planes use ``conv_general_dilated``."""
+    B, H, W = img.shape
+    if use_matmul is None:
+        use_matmul = (jax.default_backend() == "tpu"
+                      and H >= 128 and W >= 128)
+    if use_matmul:
+        return conv_sep_matmul(img, kx, ky)
     ry, rx = len(ky) // 2, len(kx) // 2
     p = _pad_reflect101(img, ry, rx)
     x = p[:, None, :, :]  # NCHW
@@ -143,9 +186,9 @@ def gaussian_kernel1d(sigma: float, ksize: int = 0) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def gaussian_blur(img, sigma: float, ksize: int = 0):
+def gaussian_blur(img, sigma: float, ksize: int = 0, use_matmul=None):
     k = gaussian_kernel1d(sigma, ksize)
-    return conv_sep(img, k, k)
+    return conv_sep(img, k, k, use_matmul)
 
 
 def scharr_kernels(scale: int):

@@ -113,12 +113,172 @@ def average_rotations(motions: List[RelativeMotion], V: int,
     return np.asarray(R)
 
 
+def _edge_depths(xh: np.ndarray, xv: np.ndarray, R_ij: np.ndarray,
+                 Cj: np.ndarray):
+    """Two-ray closest-point depths of an edge's inlier tracks in BOTH
+    cameras, for a unit baseline. xh/xv: (N, 2) normalized coords in cam
+    i / cam j; R_ij, Cj: pose of j in i's frame. Returns (z_i, z_j)."""
+    dh = np.concatenate([xh, np.ones((len(xh), 1))], 1)
+    dh /= np.linalg.norm(dh, axis=1, keepdims=True)
+    dv = np.concatenate([xv, np.ones((len(xv), 1))], 1) @ R_ij  # R^T d
+    dv /= np.linalg.norm(dv, axis=1, keepdims=True)
+    b = np.sum(dh * dv, 1)
+    d = dh @ Cj
+    e = dv @ Cj
+    den = np.maximum(1.0 - b * b, 1e-9)
+    t = (d - b * e) / den
+    X = t[:, None] * dh
+    z_i = X[:, 2]
+    z_j = (X - Cj) @ R_ij[2]
+    return z_i, z_j
+
+
+def reconcile_edge_scales(motions: List[RelativeMotion],
+                          inputs: "inc.SfMInputs") -> Optional[np.ndarray]:
+    """Per-edge baseline scales from shared-track depth ratios.
+
+    A unit-baseline triangulation of edge m gives track depths lambda_m =
+    d_true / s_m, so two edges observing the same track from the same view
+    constrain log s_a - log s_b = log lambda_b - log lambda_a.  A log-LS
+    over the edge graph (same reconciliation the stellar initializer uses
+    per hub, here over the whole motion graph) recovers all baselines up to
+    ONE global scale — which makes translation averaging well-posed even
+    for collinear centers, where direction-only constraints leave per-edge
+    spacings free (OpenMVG's SoftL1 engine reaches the same effect through
+    its trifocal relative-scale stage). Returns (M,) scales with geometric
+    mean 1, or None when the edge graph does not connect through shared
+    tracks."""
+    M = len(motions)
+    if M < 2:
+        return None
+    track_id = np.asarray(inputs.track_id)
+    xn = np.asarray(inc._normalized_xy(inputs, inputs.intr))
+    seen: Dict[Tuple[int, int], list] = {}
+    for mi, m in enumerate(motions):
+        z_i, z_j = _edge_depths(xn[m.obs_i], xn[m.obs_j], m.R_ij, m.dir_i)
+        tids = track_id[m.obs_i]
+        ok = (z_i > 1e-6) & (z_j > 1e-6)
+        for t, zi, zj, o in zip(tids, z_i, z_j, ok):
+            if not o:
+                continue
+            seen.setdefault((m.i, int(t)), []).append((mi, np.log(zi)))
+            seen.setdefault((m.j, int(t)), []).append((mi, np.log(zj)))
+
+    # aggregate pairwise log-ratio observations per motion pair
+    pair_diffs: Dict[Tuple[int, int], list] = {}
+    for entries in seen.values():
+        if len(entries) < 2:
+            continue
+        base = entries[0]
+        for other in entries[1:]:
+            a, la = base
+            b2, lb = other
+            if a == b2:
+                continue
+            kk = (min(a, b2), max(a, b2))
+            diff = (lb - la) if a < b2 else (la - lb)
+            pair_diffs.setdefault(kk, []).append(diff)
+
+    if not pair_diffs:
+        return None
+    # connectivity over motions
+    parent = list(range(M))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b2) in pair_diffs:
+        parent[find(a)] = find(b2)
+    if len({find(x) for x in range(M)}) > 1:
+        return None
+
+    # log-LS: minimize sum w (x_a - x_b - r_ab)^2, gauge mean(x)=0
+    L = np.zeros((M, M))
+    rhs = np.zeros(M)
+    for (a, b2), diffs in pair_diffs.items():
+        # x_a - x_b should equal r = median(log lambda_b - log lambda_a)
+        r = float(np.median(diffs))
+        w = float(min(len(diffs), 20))
+        L[a, a] += w
+        L[b2, b2] += w
+        L[a, b2] -= w
+        L[b2, a] -= w
+        rhs[a] += w * r
+        rhs[b2] -= w * r
+    L += np.ones((M, M)) / M          # centroid gauge
+    x = np.linalg.solve(L, rhs)
+    x -= x.mean()
+    return np.exp(x)
+
+
+def _solve_centers_scaled(idx_i, idx_j, targets, weights, V):
+    """Linear LS for centers: min sum w ||(C_j - C_i) - t_m||^2 with a
+    centroid-zero gauge (graph Laplacian, one (V, V) solve for 3 rhs)."""
+    L = np.zeros((V, V))
+    rhs = np.zeros((V, 3))
+    np.add.at(L, (idx_i, idx_i), weights)
+    np.add.at(L, (idx_j, idx_j), weights)
+    np.add.at(L, (idx_i, idx_j), -weights)
+    np.add.at(L, (idx_j, idx_i), -weights)
+    np.add.at(rhs, idx_j, weights[:, None] * targets)
+    np.add.at(rhs, idx_i, -weights[:, None] * targets)
+    L = L + np.ones((V, V)) / V
+    return np.linalg.solve(L, rhs)
+
+
 def average_translations(motions: List[RelativeMotion], R_global: np.ndarray,
                          V: int, loss: str = "softl1",
-                         irls_iterations: int = 8) -> np.ndarray:
+                         irls_iterations: int = 8,
+                         inputs: Optional["inc.SfMInputs"] = None
+                         ) -> np.ndarray:
     """Solve for camera centers from pairwise direction constraints.
     Returns (V, 3) centers, gauge: centroid 0, scale ||C||_rms = 1, sign by
-    majority cheirality."""
+    majority cheirality.
+
+    When ``inputs`` is given and the motion graph connects through shared
+    tracks, per-edge baseline scales are reconciled first and the centers
+    come from the well-posed scaled linear system (collinear-safe); the
+    direction-only spectral solver remains the fallback."""
+    if inputs is not None:
+        scales = reconcile_edge_scales(motions, inputs)
+        if scales is not None:
+            idx_i = np.asarray([m.i for m in motions])
+            idx_j = np.asarray([m.j for m in motions])
+            dirs = np.stack([m.dir_i for m in motions])
+            d_w = np.einsum("pji,pj->pi", R_global[idx_i], dirs)
+            d_w /= np.linalg.norm(d_w, axis=-1, keepdims=True)
+            targets = scales[:, None] * d_w
+            base_w = np.asarray([float(m.num_inliers) for m in motions])
+            base_w = np.sqrt(base_w / base_w.max())
+            w = base_w.copy()
+            C = _solve_centers_scaled(idx_i, idx_j, targets, w, V)
+            if loss in ("l1", "softl1"):
+                for _ in range(irls_iterations):
+                    res = np.linalg.norm(
+                        (C[idx_j] - C[idx_i]) - targets, axis=-1)
+                    s = max(float(np.median(scales)) * 0.05, 1e-9)
+                    if loss == "softl1":
+                        w = base_w / np.sqrt(np.sqrt(1.0 + (res / s) ** 2))
+                    else:
+                        w = base_w / np.maximum(res, 1e-3 * s)
+                    C = _solve_centers_scaled(idx_i, idx_j, targets, w, V)
+            C = C - C.mean(0)
+            C = C / max(np.linalg.norm(C, axis=-1).mean(), 1e-12)
+            return C.astype(np.asarray(R_global).dtype)
+    return _average_translations_spectral(motions, R_global, V, loss,
+                                          irls_iterations)
+
+
+def _average_translations_spectral(motions: List[RelativeMotion],
+                                   R_global: np.ndarray,
+                                   V: int, loss: str = "softl1",
+                                   irls_iterations: int = 8) -> np.ndarray:
+    """Direction-only spectral solver (nullspace of the stacked
+    cross-product constraints). Degenerate for collinear centers — used
+    only when scale reconciliation is unavailable."""
     idx_i = np.asarray([m.i for m in motions])
     idx_j = np.asarray([m.j for m in motions])
     # world-frame direction of (C_j - C_i): d_w = R_i^T d_i
@@ -236,7 +396,7 @@ def run_global(inputs: inc.SfMInputs,
     R_glob = average_rotations(motions, V, cfg.rotation_loss,
                                cfg.irls_iterations)
     C_glob = average_translations(motions, R_glob, V, cfg.translation_loss,
-                                  cfg.irls_iterations)
+                                  cfg.irls_iterations, inputs=inputs)
 
     # scale heuristic: translation averaging returns unit-rms centers; the
     # absolute scale is a free gauge (as in any SfM); keep as-is.

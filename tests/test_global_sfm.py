@@ -87,3 +87,71 @@ def test_global_pipeline_full(rng):
     # scene scale ~10 (at 0.4px noise this weak-geometry arc has a
     # legitimate low-frequency bending valley; 0.15px pins it)
     assert ate < 0.05, ate
+
+
+def collinear_scene(rng, n_cams=7, n_pts=400, f=900.0, w=1280, h=960):
+    """Cameras along a line with UNEVEN spacing, all looking forward —
+    the classic degenerate case for direction-only translation averaging
+    (every pairwise direction is the same; per-edge spacing is otherwise
+    unconstrained). Shared-track scale reconciliation must recover it."""
+    from regard3d_tpu.core.types import PINHOLE
+    X = rng.normal(size=(n_pts, 3)) * [6, 3, 1.5] + [0, 0, 10]
+    gaps = rng.uniform(0.5, 3.0, n_cams - 1)
+    xs = np.concatenate([[0.0], np.cumsum(gaps)])
+    Cs = np.stack([xs, np.zeros(n_cams), np.zeros(n_cams)], -1)
+    Rs = [np.eye(3) for _ in range(n_cams)]
+    intr = np.zeros((1, 9), np.float32)
+    intr[0, :3] = [f, w / 2, h / 2]
+
+    feats, vis_table = [], {}
+    for v in range(n_cams):
+        uv, depth = cameras.project(
+            jnp.asarray(Rs[v]), jnp.asarray(Cs[v]), jnp.int32(PINHOLE),
+            jnp.asarray(intr[0]), jnp.asarray(X))
+        uv = np.asarray(uv) + rng.normal(size=(n_pts, 2)) * 0.3
+        inside = ((uv[:, 0] > 0) & (uv[:, 0] < w)
+                  & (uv[:, 1] > 0) & (uv[:, 1] < h)
+                  & (np.asarray(depth) > 0))
+        ids = np.where(inside)[0]
+        feats.append((ids, uv[ids]))
+    matches = {}
+    for i in range(n_cams):
+        for j in range(i + 1, n_cams):
+            pi = dict((pid, k) for k, pid in enumerate(feats[i][0]))
+            m = [(pi[pid], k) for k, pid in enumerate(feats[j][0])
+                 if pid in pi]
+            if len(m) >= 30:
+                matches[(i, j)] = np.asarray(m, np.int64)
+    return dict(feats=feats, matches=matches, intr=intr, model=PINHOLE,
+                w=w, h=h, Cs=Cs, Rs=np.stack(Rs))
+
+
+def test_translation_averaging_collinear_centers(rng):
+    """Uneven spacing along a line is unrecoverable from directions alone;
+    the shared-track scale reconciliation must recover it (VERDICT weak#7:
+    OpenMVG's SoftL1 survives this via its relative-scale stage)."""
+    scene = collinear_scene(rng)
+    inputs, table = build_inputs(scene)
+    V = len(scene["feats"])
+    key = jax.random.PRNGKey(0)
+    cfg = global_sfm.GlobalConfig(ransac_iters=256)
+    motions = global_sfm.compute_relative_motions(inputs, table, cfg, key, V)
+    assert len(motions) >= V - 1
+    Rg = global_sfm.average_rotations(motions, V, "l2")
+    C = global_sfm.average_translations(motions, Rg, V, "softl1",
+                                        inputs=inputs)
+    # compare spacing pattern after scale/sign alignment along the line
+    gt = scene["Cs"] - scene["Cs"].mean(0)
+    gt = gt / np.linalg.norm(gt, axis=-1).mean()
+    # align sign
+    if np.dot(C[-1] - C[0], gt[-1] - gt[0]) < 0:
+        C = -C
+    err = np.linalg.norm(C - gt, axis=-1)
+    assert err.max() < 0.08, (err, C[:, 0], gt[:, 0])
+
+    # the spectral fallback CANNOT recover the uneven spacing pattern
+    C_sp = global_sfm._average_translations_spectral(motions, Rg, V)
+    if np.dot(C_sp[-1] - C_sp[0], gt[-1] - gt[0]) < 0:
+        C_sp = -C_sp
+    err_sp = np.linalg.norm(C_sp - gt, axis=-1)
+    assert err.max() < err_sp.max()

@@ -171,3 +171,29 @@ def test_liop_matches_reference_golden_vectors():
     # bump): massive intensity ties make the rank order — and hence the
     # exact binning — implementation-defined; require high agreement only
     assert float(cos.min()) > 0.9, cos
+
+
+def test_pyramid_warp_matches_exact_at_fine_scales(rng):
+    """TPU fast path (warp_patches_pyramid): level-0 keypoints must match
+    the direct bilinear warp to matmul rounding; coarse keypoints sample an
+    anti-aliased pyramid level (different by design, still descriptive)."""
+    B, H, W, K = 2, 256, 256, 64
+    img = jnp.asarray(rng.uniform(size=(B, H, W)), jnp.float32)
+    xy = jnp.asarray(rng.uniform(30, 220, size=(B, K, 2)), jnp.float32)
+    size = jnp.asarray(rng.uniform(4.8, 10.0, size=(B, K)), jnp.float32)
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, size=(B, K)), jnp.float32)
+    kps = Keypoints(xy=xy, scale=size, angle=angle,
+                    score=jnp.ones((B, K)), mask=jnp.ones((B, K), bool))
+
+    pe = liop.warp_patches(img[0], xy[0], size[0], angle[0], 8.0)
+    pp = liop.warp_patches_pyramid(img[:1], jnp.zeros((K,), jnp.int32),
+                                   xy[0], size[0], angle[0], 8.0, chunk=64)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(pp), atol=1e-4)
+
+    d_exact = liop.describe_liop(img, kps, use_pyramid=False)
+    d_pyr = liop.describe_liop(img, kps, use_pyramid=True)
+    de = np.asarray(d_exact.data)[..., :144]
+    dp = np.asarray(d_pyr.data)[..., :144]
+    cos = (de * dp).sum(-1) / np.maximum(
+        np.linalg.norm(de, axis=-1) * np.linalg.norm(dp, axis=-1), 1e-9)
+    assert cos.min() > 0.99, cos.min()
