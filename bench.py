@@ -126,27 +126,41 @@ def main():
     pairs_per_s_bf16 = measure_tpu_matching(bf16=True)
     cpu_ref = measure_cpu_reference()
 
-    # BA scaling curve: the 1-dev/mesh-8 comparison shares the CPU backend
-    # and the SAME problem (strong scaling); the weak-scaling pair holds
-    # per-device observations fixed. The TPU 1-dev point is the absolute
-    # per-chip number.
+    # BA scaling curve (point-block-sharded distributed BA, ba/sharded.py):
+    # strong scaling shares the CPU backend and the SAME problem; the
+    # weak-scaling pair holds per-device landmarks AND observations fixed
+    # (12.5k pts / 150k obs per device).  The TPU 1-dev point is the
+    # absolute per-chip number.  NOTE this host has 2 physical cores, so an
+    # 8-virtual-device CPU mesh is 4x oversubscribed: the raw weak number
+    # is bounded above by cores/N = 0.25 even with zero communication; the
+    # core-scaled figure (raw * N / min(N, cores)) removes that bound and
+    # is the ICI-relevant efficiency.
+    NCORES = os.cpu_count() or 1
     PROB = ["--cams", "300", "--pts", "50000", "--obs-per-pt", "12"]
-    WEAK1 = ["--cams", "300", "--pts", "50000", "--obs-per-pt", "2"]
-    WEAK8 = ["--cams", "300", "--pts", "50000", "--obs-per-pt", "16"]
+    WEAK1 = ["--cams", "300", "--pts", "12500", "--obs-per-pt", "12"]
+    WEAK8 = ["--cams", "300", "--pts", "100000", "--obs-per-pt", "12"]
+    BIG = ["--cams", "1000", "--pts", "1000000", "--obs-per-pt", "4",
+           "--iters", "3"]
     ba_tpu1 = run_ba_bench(PROB)
     ba_cpu1 = run_ba_bench(PROB + ["--cpu"])
-    ba_cpu8 = run_ba_bench(PROB + ["--mesh", "8"])
+    ba_pt8 = run_ba_bench(PROB + ["--mesh", "8", "--point-sharded"])
+    ba_obs8 = run_ba_bench(PROB + ["--mesh", "8"])
     ba_w1 = run_ba_bench(WEAK1 + ["--cpu"])
-    ba_w8 = run_ba_bench(WEAK8 + ["--mesh", "8"])
+    ba_w8 = run_ba_bench(WEAK8 + ["--mesh", "8", "--point-sharded"])
+    ba_1m = run_ba_bench(BIG + ["--mesh", "8", "--point-sharded"],
+                         timeout=2400)
     fb = run_features_bench()
 
     def val(d):
         return d and d.get("value")
 
-    strong = (val(ba_cpu8) / val(ba_cpu1)
-              if val(ba_cpu8) and val(ba_cpu1) else None)
+    strong = (val(ba_pt8) / val(ba_cpu1)
+              if val(ba_pt8) and val(ba_cpu1) else None)
+    strong_obs = (val(ba_obs8) / val(ba_cpu1)
+                  if val(ba_obs8) and val(ba_cpu1) else None)
     weak = (val(ba_w8) / val(ba_w1)
             if val(ba_w8) and val(ba_w1) else None)
+    weak_cs = weak and min(weak * 8.0 / min(8, NCORES), 1.0)
 
     print(json.dumps({
         "metric": "matched_pairs_per_s_per_chip",
@@ -160,13 +174,28 @@ def main():
             "ba_1dev_detail": ba_tpu1 and ba_tpu1.get("unit"),
             "ba_1dev_backend": ba_tpu1 and ba_tpu1.get("backend"),
             "ba_lm_iters_per_s_cpu1": val(ba_cpu1),
-            "ba_lm_iters_per_s_cpu_mesh8": val(ba_cpu8),
+            "ba_point_sharded_iters_per_s_cpu_mesh8": val(ba_pt8),
+            "ba_obs_sharded_iters_per_s_cpu_mesh8": val(ba_obs8),
             "ba_strong_scaling_x_mesh8_vs_1dev_cpu":
                 strong and round(strong, 2),
-            "ba_weak_scaling_efficiency_cpu":
+            "ba_strong_scaling_x_mesh8_obs_sharded":
+                strong_obs and round(strong_obs, 2),
+            "ba_weak_scaling_efficiency":
+                weak_cs and round(weak_cs, 2),
+            "ba_weak_scaling_efficiency_cpu_raw":
                 weak and round(weak, 2),
-            "ba_weak_detail": "per-device obs fixed at 100k (1 dev obs/pt=2 "
-                              "vs mesh-8 obs/pt=16), CPU backend",
+            "ba_weak_detail": (
+                "point-block sharding; per-device fixed at 12.5k landmarks "
+                "/ 150k obs (1 dev vs mesh-8), CPU backend; host has "
+                f"{NCORES} cores so mesh-8 is {8 // max(NCORES, 1)}x "
+                "oversubscribed — raw efficiency is bounded by "
+                f"{min(8, NCORES)}/8 = {min(8, NCORES)/8:.2f} even with "
+                "zero communication; the headline figure is "
+                "raw * 8/min(8,cores), capped at 1"),
+            "ba_point_sharded_1m_landmarks_iters_per_s": val(ba_1m),
+            "ba_1m_detail": ba_1m and ba_1m.get("unit"),
+            "ba_1m_landmark_state_bytes_per_device":
+                ba_1m and ba_1m.get("landmark_state_bytes_per_device"),
             "features_imgs_per_s": fb and fb.get("features_imgs_per_s"),
             "ransac_pairs_per_s": fb and fb.get("ransac_pairs_per_s"),
             "features_backend": fb and fb.get("backend"),

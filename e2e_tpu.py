@@ -4,6 +4,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+# the parent only renders/checks — it must NOT hold the TPU chip, or the
+# CLI children cannot initialize the axon backend (single-tenant chip)
+import jax
+jax.config.update("jax_platforms", "cpu")
 from regard3d_tpu.ingest import synth
 from PIL import Image
 
@@ -19,13 +23,21 @@ proj = os.path.join(work, "proj")
 
 env = dict(os.environ)   # NO PYTHONPATH (axon constraint); cwd = repo
 def cli(*a):
-    r = subprocess.run([sys.executable, "-m", "regard3d_tpu.cli", *a],
-                       env=env, capture_output=True, text=True,
-                       cwd=os.path.dirname(os.path.abspath(__file__)))
-    print(">>>", a[0], "rc=", r.returncode, flush=True)
-    if r.returncode != 0:
-        print(r.stdout[-2000:]); print(r.stderr[-4000:]); sys.exit(1)
-    return r.stdout
+    # the axon chip tunnel releases with a lag after a child exits; a
+    # follow-on child can transiently fail to register the backend — retry
+    import time
+    for attempt in range(3):
+        r = subprocess.run([sys.executable, "-m", "regard3d_tpu.cli", *a],
+                           env=env, capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        print(">>>", a[0], "rc=", r.returncode, flush=True)
+        if r.returncode == 0:
+            return r.stdout
+        if "known backends" not in r.stderr and \
+           "Unable to initialize" not in r.stderr:
+            break
+        time.sleep(20)
+    print(r.stdout[-2000:]); print(r.stderr[-4000:]); sys.exit(1)
 
 cli("init", proj)
 cli("import", proj, *paths)

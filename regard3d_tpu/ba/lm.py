@@ -180,8 +180,13 @@ class _Normal(NamedTuple):
     gi: jnp.ndarray       # (K, 9)
 
 
+_FOLLOW = "__follow_axis__"
+
+
 def _normal_blocks(state, obs, opts, axis_name=None,
-                   layout=None) -> _Normal:
+                   layout=None, point_axis_name=_FOLLOW) -> _Normal:
+    if point_axis_name is _FOLLOW:
+        point_axis_name = axis_name
     r, A, B, Ji, w = _build_blocks(state, obs, opts)
     V = state.R.shape[0]
     L = state.X.shape[0]
@@ -197,12 +202,15 @@ def _normal_blocks(state, obs, opts, axis_name=None,
         red_c = lambda x: segment_sum(x, obs.view_id, V)
         red_p = lambda x: segment_sum(x, obs.point_id, L)
         red_i = lambda x: segment_sum(x, obs.intr_id, K)
-    U = _psum(red_c(jnp.einsum("oki,okj->oij", wA, A)), axis_name)
-    Vl = _psum(red_p(jnp.einsum("oki,okj->oij", wB, B)), axis_name)
-    Ui = _psum(red_i(jnp.einsum("oki,okj->oij", wJi, Ji)), axis_name)
-    gc = _psum(red_c(jnp.einsum("oki,ok->oi", wA, r)), axis_name)
-    gp = _psum(red_p(jnp.einsum("oki,ok->oi", wB, r)), axis_name)
-    gi = _psum(red_i(jnp.einsum("oki,ok->oi", wJi, r)), axis_name)
+    U = red_c(jnp.einsum("oki,okj->oij", wA, A))
+    Ui = red_i(jnp.einsum("oki,okj->oij", wJi, Ji))
+    gc = red_c(jnp.einsum("oki,ok->oi", wA, r))
+    gi = red_i(jnp.einsum("oki,ok->oi", wJi, r))
+    if axis_name is not None:
+        # one fused collective for the whole (small) camera system
+        U, Ui, gc, gi = jax.lax.psum((U, Ui, gc, gi), axis_name)
+    Vl = _psum(red_p(jnp.einsum("oki,okj->oij", wB, B)), point_axis_name)
+    gp = _psum(red_p(jnp.einsum("oki,ok->oi", wB, r)), point_axis_name)
     return _Normal(A, B, Ji, w, U, Vl, Ui, gc, gp, gi)
 
 
@@ -215,8 +223,16 @@ def _damped_inv(M, lam, eps=1e-12):
 
 def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
                  opts: BAOptions, fixed_pose_mask, intr_dof_mask,
-                 axis_name=None, layout=None):
-    """One damped Schur/CG solve. Returns (dc (V,6), dp (L,3), di (K,9))."""
+                 axis_name=None, layout=None, point_axis_name=_FOLLOW):
+    """One damped Schur/CG solve. Returns (dc (V,6), dp (L,3), di (K,9)).
+
+    ``point_axis_name`` controls whether per-point reductions are psum'd:
+    in the observation-sharded path it equals ``axis_name`` (a point's rows
+    live on several devices); in the point-block-sharded path it is None
+    (all rows of a point are co-located, so W^T x / V-blocks are local and
+    the only collectives are the small (V,6)+(K,9) camera-system psums)."""
+    if point_axis_name is _FOLLOW:
+        point_axis_name = axis_name
     V = nb.U.shape[0]
     L = nb.Vl.shape[0]
     K = nb.Ui.shape[0]
@@ -251,7 +267,8 @@ def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
         """W^T [xc; xi] -> per-point 3-vectors."""
         ax = jnp.einsum("oki,oi->ok", nb.A, xc[obs.view_id])
         ix = jnp.einsum("oki,oi->ok", nb.Ji, xi[obs.intr_id])
-        return _psum(red_p(jnp.einsum("oki,ok->oi", wB, ax + ix)), axis_name)
+        return _psum(red_p(jnp.einsum("oki,ok->oi", wB, ax + ix)),
+                     point_axis_name)
 
     def W_y(yp):
         """W y -> (camera part, intrinsic part)."""
@@ -260,24 +277,29 @@ def _solve_schur(nb: _Normal, obs: BAObservations, lam, state,
         i = _psum(red_i(jnp.einsum("oki,ok->oi", wJi, by)), axis_name)
         return c, i
 
-    def cross_ci(xc):
-        """Sum_o Ji^T w A xc — direct cam<->intr coupling."""
-        ax = jnp.einsum("oki,oi->ok", nb.A, xc[obs.view_id])
-        return _psum(red_i(jnp.einsum("oki,ok->oi", wJi, ax)), axis_name)
-
-    def cross_ic(xi):
-        ix = jnp.einsum("oki,oi->ok", nb.Ji, xi[obs.intr_id])
-        return _psum(red_c(jnp.einsum("oki,ok->oi", wA, ix)), axis_name)
-
     def S_mv(x):
-        """Implicit reduced-system matvec over stacked [cams; intrinsics]."""
+        """Implicit reduced-system matvec over stacked [cams; intrinsics].
+
+        The cross-coupling (Ji^T w A, A^T w Ji) and the Schur products
+        W V^-1 W^T are fused into single per-observation passes: camera
+        rows reduce A^T w (ix - by), intrinsic rows Ji^T w (ax - by), and
+        the two small results ship in ONE psum — per-CG-step communication
+        is (V,6)+(K,9) regardless of the landmark count."""
         xc = x["c"] * free_c
         xi = x["i"] * intr_free
-        uc = jnp.einsum("vij,vj->vi", Ud, xc) + cross_ic(xi)
-        ui = jnp.einsum("kij,kj->ki", Uid, xi) + cross_ci(xc)
-        y = jnp.einsum("lij,lj->li", Vinv, WT_x(xc, xi))
-        wc, wi = W_y(y)
-        return {"c": (uc - wc) * free_c, "i": (ui - wi) * intr_free}
+        ax = jnp.einsum("oki,oi->ok", nb.A, xc[obs.view_id])
+        ix = jnp.einsum("oki,oi->ok", nb.Ji, xi[obs.intr_id])
+        t = _psum(red_p(jnp.einsum("oki,ok->oi", wB, ax + ix)),
+                  point_axis_name)
+        y = jnp.einsum("lij,lj->li", Vinv, t)
+        by = jnp.einsum("oki,oi->ok", nb.B, y[obs.point_id])
+        dc_part = red_c(jnp.einsum("oki,ok->oi", wA, ix - by))
+        di_part = red_i(jnp.einsum("oki,ok->oi", wJi, ax - by))
+        if axis_name is not None:
+            dc_part, di_part = jax.lax.psum((dc_part, di_part), axis_name)
+        uc = jnp.einsum("vij,vj->vi", Ud, xc) + dc_part
+        ui = jnp.einsum("kij,kj->ki", Uid, xi) + di_part
+        return {"c": uc * free_c, "i": ui * intr_free}
 
     # rhs = -g + W V^-1 gp  (for [c; i])
     y0 = jnp.einsum("lij,lj->li", Vinv, nb.gp)
@@ -353,14 +375,17 @@ def _intr_dof_mask(models, refine: bool, dtype):
 
 
 def lm_trial(state, lam, obs, opts, fixed_pose_mask, intr_mask,
-             center_prior=None, axis_name=None, layout=None):
+             center_prior=None, axis_name=None, layout=None,
+             point_axis_name=_FOLLOW):
     """One damped LM trial step (linearize + Schur/CG solve + apply).
 
     Pure function of replicated state and (possibly sharded) observations;
     under ``shard_map`` pass the mesh axis holding the observation shards as
     ``axis_name`` and every reduction gains a psum.  ``layout`` switches the
-    reductions to the scatter-free gather path (see BALayout)."""
-    nb = _normal_blocks(state, obs, opts, axis_name, layout)
+    reductions to the scatter-free gather path (see BALayout).  Pass
+    ``point_axis_name=None`` when landmarks (and their observation rows) are
+    block-sharded so per-point reductions stay local (``ba/sharded.py``)."""
+    nb = _normal_blocks(state, obs, opts, axis_name, layout, point_axis_name)
     if center_prior is not None and opts.center_prior_weight > 0:
         w = opts.center_prior_weight
         eye_c = jnp.zeros((6, 6), state.X.dtype).at[3:, 3:].set(
@@ -369,7 +394,8 @@ def lm_trial(state, lam, obs, opts, fixed_pose_mask, intr_mask,
             U=nb.U + w * eye_c[None],
             gc=nb.gc.at[:, 3:].add(w * (state.C - center_prior)))
     dc, dp, di = _solve_schur(nb, obs, lam, state, opts,
-                              fixed_pose_mask, intr_mask, axis_name, layout)
+                              fixed_pose_mask, intr_mask, axis_name, layout,
+                              point_axis_name)
     return _apply_step(state, dc, dp, di)
 
 

@@ -295,6 +295,15 @@ def _dist_ba_polish(result: incremental.SfMResult,
                            X=result.X)
     opts = lm_mod.BAOptions(max_iterations=params.dist_ba_iterations,
                             refine_intrinsics=params.refine_intrinsics)
-    out, _ = sharded.bundle_adjust_sharded(
-        state, obs, mesh, opts, fixed_pose_mask=jnp.asarray(fixed))
+    if jax.process_count() == 1:
+        # production path: landmark blocks sharded, O(L/N) per device,
+        # camera-system-only collectives
+        out, _ = sharded.bundle_adjust_point_sharded(
+            state, obs, mesh, opts, fixed_pose_mask=jnp.asarray(fixed))
+    else:
+        # multi-process: the partition tables would need a multihost
+        # device_put; the observation-sharded path feeds global arrays
+        # straight through pjit, which is multihost-safe today
+        out, _ = sharded.bundle_adjust_sharded(
+            state, obs, mesh, opts, fixed_pose_mask=jnp.asarray(fixed))
     return result._replace(R=out.R, C=out.C, intr=out.intr, X=out.X)
