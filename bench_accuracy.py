@@ -29,10 +29,16 @@ import time
 
 import numpy as np
 
-# camera-count + ATE + residual gates per dataset (scene scale ~ 12 units)
+# camera-count + ATE + residual gates per dataset (scene scale ~ 12 units).
+# *_rk3 = the same scene ray-cast through a radial-K3 lens (the reference's
+# DEFAULT camera model, src/R3DProject.cpp:1167-1191 / default radial3 at
+# src/gui/Regard3DComputeMatchesDialog.cpp:27), reconstructed with
+# --camera-model radial_k3 and unknown distortion recovered by BA
 GATES = {
     "castle": {"ate": 0.08, "median_px": 1.0, "min_cameras": 11},
     "fountain": {"ate": 0.08, "median_px": 1.0, "min_cameras": 11},
+    "castle_rk3": {"ate": 0.08, "median_px": 1.0, "min_cameras": 11},
+    "fountain_rk3": {"ate": 0.08, "median_px": 1.0, "min_cameras": 11},
 }
 GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "ACCURACY.json")
@@ -42,7 +48,7 @@ def run_dataset(name: str, seed: int = 0) -> dict:
     import jax.numpy as jnp
     from regard3d_tpu.core import metrics
     from regard3d_tpu.core.sfm_data import load_npz
-    from regard3d_tpu.core.types import PINHOLE
+    from regard3d_tpu.core.types import PINHOLE, RADIAL_K3
     from regard3d_tpu.ingest import synth
     from regard3d_tpu.pipeline import compute_matches as cm
     from regard3d_tpu.pipeline import triangulation_step as ts
@@ -52,6 +58,9 @@ def run_dataset(name: str, seed: int = 0) -> dict:
     V = len(ds["images"])
     # realistic focal prior: 3% off the true value, refined by BA
     f_prior = 1.03 * ds["f"]
+    # the distorted datasets run the reference's DEFAULT camera model:
+    # radial_k3 with UNKNOWN (zero-initialized) distortion, recovered by BA
+    model = RADIAL_K3 if ds.get("disto") else PINHOLE
 
     with tempfile.TemporaryDirectory() as tmp:
         out = os.path.join(tmp, "matches")
@@ -66,7 +75,7 @@ def run_dataset(name: str, seed: int = 0) -> dict:
         tstats = ts.run_triangulation(
             out, tri, ds["images"],
             intr_id=np.zeros(V, np.int32), intr=intr,
-            models=np.asarray([PINHOLE], np.int32),
+            models=np.asarray([model], np.int32),
             params=ts.TriangulationParams(engine="incremental2",
                                           refine_intrinsics=True))
         scene = load_npz(os.path.join(tri, "scene.npz"))
@@ -74,7 +83,17 @@ def run_dataset(name: str, seed: int = 0) -> dict:
     pm = np.asarray(scene.poses.mask)
     C_est = np.asarray(scene.poses.C)[pm]
     ate = metrics.ate_rmse(C_est, ds["Cs"][np.nonzero(pm)[0]])
+    extra = {}
+    if ds.get("disto"):
+        extra["disto_gt"] = [round(float(v), 4) for v in ds["disto"]]
+        extra["disto_est"] = [round(float(v), 4)
+                              for v in np.asarray(scene.intrinsics.params)
+                              [0, 3:6]]
+        extra["focal_est"] = round(float(
+            np.asarray(scene.intrinsics.params)[0, 0]), 1)
+        extra["focal_gt"] = round(float(ds["f"]), 1)
     return {
+        **extra,
         "dataset": name,
         "num_cameras": int(tstats["num_cameras"]),
         "num_tracks": int(tstats["num_tracks"]),
@@ -96,7 +115,8 @@ def main():
     from regard3d_tpu import runtime
     runtime.setup()   # f32 matmuls + persistent compile cache (CLI parity)
     ap = argparse.ArgumentParser()
-    ap.add_argument("--datasets", default="castle,fountain")
+    ap.add_argument("--datasets",
+                    default="castle,fountain,castle_rk3,fountain_rk3")
     ap.add_argument("--update-golden", action="store_true")
     ap.add_argument("--out", default=GOLDEN_PATH if "--update-golden"
                     in sys.argv else None)

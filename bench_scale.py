@@ -1,0 +1,135 @@
+"""1000-view full-reconstruction stress bench (VERDICT r3 item 2).
+
+Runs the COMPLETE pipeline — feature detection -> window-pruned pair
+matching -> ACRANSAC filtering -> incremental SfM -> bundle adjustment —
+on a ~1000-view synthetic city sequence (regard3d_tpu/ingest/synth.py
+``make_city``: exact GT poses, O(1) render cost per view) and gates:
+
+* >= 95% of cameras posed;
+* ATE (Sim3-aligned) <= 0.5% of the trajectory extent;
+* wall time per stage + end-to-end and peak RSS recorded.
+
+This is the BASELINE.md scale axis (Rome16K stand-in — the sandbox has no
+network, so view count is the scaled dimension; the reference streams
+arbitrary project sizes through its per-pair OpenMP loop,
+src/R3DComputeMatches.cpp:877-899, and its engine loop,
+src/threads/R3DTriangulationThread.cpp).
+
+Writes SCALE1000.json (merged into bench.py's extra when present).
+
+Run: python bench_scale.py [--views 1000] [--window 8] [--hw 256]
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "SCALE1000.json")
+
+
+def peak_rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=1000)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--max-keypoints", type=int, default=1024)
+    ap.add_argument("--engine", default="incremental2")
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args()
+
+    from regard3d_tpu import runtime
+    runtime.setup()
+    import jax
+    from regard3d_tpu.core import metrics
+    from regard3d_tpu.core.sfm_data import load_npz
+    from regard3d_tpu.core.types import PINHOLE
+    from regard3d_tpu.ingest import synth
+    from regard3d_tpu.pipeline import compute_matches as cm
+    from regard3d_tpu.pipeline import triangulation_step as ts
+
+    t0 = time.time()
+    ds = synth.make_city(n_cams=args.views, hw=args.hw)
+    t_render = time.time() - t0
+    V = len(ds["images"])
+    pairs = synth.window_pairs(V, args.window)
+    print(f"# rendered {V} views in {t_render:.0f}s, "
+          f"{len(pairs)} window pairs", flush=True)
+
+    f_prior = 1.03 * ds["f"]
+    stage_t = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "matches")
+        t1 = time.time()
+        mstats = cm.run_compute_matches(
+            ds["images"], out, threshold=0.0005,
+            cfg=cm.MatchConfig(ransac_iters=1024),
+            focals=np.full(V, f_prior),
+            max_keypoints=args.max_keypoints, pairs=pairs,
+            progress=None)
+        stage_t["matches_s"] = round(time.time() - t1, 1)
+        print(f"# matching done in {stage_t['matches_s']}s: "
+              f"{mstats['pairs_f']} F-pairs", flush=True)
+
+        intr = np.zeros((1, 9), np.float32)
+        intr[0, :3] = [f_prior, ds["hw"] / 2, ds["hw"] / 2]
+        tri = os.path.join(tmp, "tri")
+        t2 = time.time()
+        tstats = ts.run_triangulation(
+            out, tri, ds["images"],
+            intr_id=np.zeros(V, np.int32), intr=intr,
+            models=np.asarray([PINHOLE], np.int32),
+            params=ts.TriangulationParams(engine=args.engine,
+                                          refine_intrinsics=True))
+        stage_t["sfm_s"] = round(time.time() - t2, 1)
+        scene = load_npz(os.path.join(tri, "scene.npz"))
+
+    pm = np.asarray(scene.poses.mask)
+    C_est = np.asarray(scene.poses.C)[pm]
+    ate = float(metrics.ate_rmse(C_est, ds["Cs"][np.nonzero(pm)[0]]))
+    extent = float(np.linalg.norm(ds["Cs"].max(0) - ds["Cs"].min(0)))
+
+    posed_frac = float(pm.sum()) / V
+    gates = {
+        "posed_ok": posed_frac >= 0.95,
+        "ate_ok": ate <= 0.005 * extent,
+    }
+    result = {
+        "views": V,
+        "window": args.window,
+        "pairs": len(pairs),
+        "engine": args.engine,
+        "num_cameras": int(pm.sum()),
+        "posed_fraction": round(posed_frac, 4),
+        "num_tracks": int(tstats["num_tracks"]),
+        "num_observations": int(tstats.get("num_observations", 0)),
+        "ate": round(ate, 4),
+        "trajectory_extent": round(extent, 1),
+        "ate_fraction_of_extent": round(ate / extent, 6),
+        "rms_px": round(float(tstats["rms_px"]), 3),
+        "render_s": round(t_render, 1),
+        **stage_t,
+        "total_s": round(time.time() - t0, 1),
+        "peak_rss_gb": round(peak_rss_gb(), 2),
+        "backend": jax.default_backend(),
+        "gates": gates,
+        "ok": all(gates.values()),
+    }
+    print(json.dumps(result))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    sys.exit(0 if result["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

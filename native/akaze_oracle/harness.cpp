@@ -14,7 +14,16 @@
 #include <string>
 #include <vector>
 
+// --dump mode reads the (private) evolution pyramid for scale-space parity
+// debugging — oracle tool only, never shipped.  All std headers must be
+// included BEFORE the access-override define.
+#include <iostream>
+#include <sstream>
+#include <iomanip>
+#include <cmath>
+#define private public
 #include "AKAZE.h"
+#undef private
 
 #ifdef WITH_LIOP
 extern "C" {
@@ -111,6 +120,7 @@ int main(int argc, char** argv) {
   float thr = 0.001f;
   const char* in = nullptr;
   const char* out = nullptr;
+  const char* dump = nullptr;
   for (int i = 1; i < argc; i++) {
     if (!strcmp(argv[i], "--w")) W = atoi(argv[++i]);
     else if (!strcmp(argv[i], "--h")) H = atoi(argv[++i]);
@@ -118,6 +128,7 @@ int main(int argc, char** argv) {
     else if (!strcmp(argv[i], "--bench")) bench = atoi(argv[++i]);
     else if (!strcmp(argv[i], "--in")) in = argv[++i];
     else if (!strcmp(argv[i], "--out")) out = argv[++i];
+    else if (!strcmp(argv[i], "--dump")) dump = argv[++i];
   }
   if (!in || W <= 0 || H <= 0) {
     fprintf(stderr,
@@ -167,6 +178,30 @@ int main(int argc, char** argv) {
   akaze.Feature_Detection(kpts);
   for (size_t i = 0; i < kpts.size(); i++)
     akaze.Compute_Main_Orientation(kpts[i]);
+
+  if (dump) {
+    // per-level Lsmooth + Ldet + metadata for pixelwise parity debugging
+    char path[1024];
+    snprintf(path, sizeof path, "%s_meta.txt", dump);
+    FILE* mf = fopen(path, "w");
+    fprintf(mf, "kcontrast %.9g\n", akaze.options_.kcontrast);
+    for (size_t i = 0; i < akaze.evolution_.size(); i++) {
+      TEvolution& ev = akaze.evolution_[i];
+      fprintf(mf, "level %zu octave %d sublevel %d esigma %.9g etime %.9g "
+              "sigma_size %d rows %d cols %d\n", i, ev.octave, ev.sublevel,
+              ev.esigma, ev.etime, ev.sigma_size, ev.Ldet.rows,
+              ev.Ldet.cols);
+      snprintf(path, sizeof path, "%s_lsm_%zu.f32", dump, i);
+      std::ofstream f1(path, std::ios::binary);
+      f1.write((const char*)ev.Lsmooth.ptr<float>(0),
+               (size_t)ev.Lsmooth.rows * ev.Lsmooth.cols * sizeof(float));
+      snprintf(path, sizeof path, "%s_ldet_%zu.f32", dump, i);
+      std::ofstream f2(path, std::ios::binary);
+      f2.write((const char*)ev.Ldet.ptr<float>(0),
+               (size_t)ev.Ldet.rows * ev.Ldet.cols * sizeof(float));
+    }
+    fclose(mf);
+  }
 
   FILE* fo = out ? fopen(out, "w") : stdout;
   for (size_t i = 0; i < kpts.size(); i++)

@@ -125,10 +125,40 @@ def cmd_matches(args):
     from regard3d_tpu.pipeline import compute_matches as cm
     from regard3d_tpu.pipeline.features import SENSITIVITY_PRESETS
     from regard3d_tpu.pipeline.project import Project
-    p = Project.load(args.project)
-    ps, infos, images = _load_pictureset(p)
-    obj = p.add_compute_matches(ps.id, _params(args))
-    out_dir = p.prepare(obj.id)
+    # multi-process pair-sharded matching (r3d launch -n N -- matches):
+    # the PRIMARY owns all project mutations; secondaries learn the step
+    # dir through a token-stamped handshake file and match their own
+    # round-robin shard of the pair list (P2, compute_matches.py)
+    proc_count = int(os.environ.get("R3D_NUM_PROCESSES", "1"))
+    proc_id = int(os.environ.get("R3D_PROCESS_ID", "0"))
+    token = os.environ.get("R3D_COORDINATOR", "local")
+    hs = os.path.join(args.project, ".matches_handshake")
+    p = None
+    obj = None
+    if proc_id == 0:
+        p = Project.load(args.project)
+        ps, infos, images = _load_pictureset(p)
+        obj = p.add_compute_matches(ps.id, _params(args))
+        out_dir = p.prepare(obj.id)
+        if proc_count > 1:
+            with open(hs, "w") as fh:
+                json.dump({"token": token, "out_dir": out_dir}, fh)
+    else:
+        deadline = time.time() + 600
+        while True:
+            try:
+                with open(hs) as fh:
+                    d = json.load(fh)
+                if d.get("token") == token:
+                    out_dir = d["out_dir"]
+                    break
+            except (OSError, ValueError):
+                pass
+            if time.time() > deadline:
+                raise TimeoutError("no matches handshake from primary")
+            time.sleep(0.5)
+        p2 = Project.load(args.project)
+        _, infos, images = _load_pictureset(p2)
     t0 = time.time()
     try:
         thr = SENSITIVITY_PRESETS.get(args.sensitivity, 0.0007)
@@ -140,11 +170,14 @@ def cmd_matches(args):
                                ransac_iters=args.ransac_iters),
             focals=focals, max_keypoints=args.max_keypoints,
             detector=args.detector,
-            progress=_progress("matching"))
+            progress=_progress("matching"),
+            proc_id=proc_id, proc_count=proc_count)
     except Exception as e:
-        p.fail(obj.id, str(e))
+        if proc_id == 0:
+            p.fail(obj.id, str(e))
         raise
-    p.finish(obj.id, stats, time.time() - t0)
+    if proc_id == 0:
+        p.finish(obj.id, stats, time.time() - t0)
     print(json.dumps(stats, indent=1, default=str))
 
 
@@ -646,11 +679,13 @@ def main(argv=None):
     from regard3d_tpu.dist import launch as launch_mod
     multiproc = launch_mod.init_from_env()  # join a multi-process job
     args = build_parser().parse_args(argv)
-    # only `sfm` participates in cross-process collectives (--dist-ba);
+    # cross-process subcommands: `sfm` (--dist-ba collective polish) and
+    # `matches` (pair-list sharded across processes, merged on primary);
     # every other subcommand is host-side or local-mesh work — running N
     # duplicate copies would race on the same artifact files, so secondary
     # processes skip it (dist/launch.py is_primary contract).
-    if multiproc and not launch_mod.is_primary() and args.cmd != "sfm":
+    if (multiproc and not launch_mod.is_primary()
+            and args.cmd not in ("sfm", "matches")):
         print(f"r3d: secondary process skipping non-distributed "
               f"subcommand {args.cmd!r}", file=sys.stderr)
         return

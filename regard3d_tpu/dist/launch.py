@@ -18,15 +18,21 @@ list, so meshes built by ``dist.mesh.make_mesh`` span processes and the
 
 Multi-process execution contract (enforced by the CLI dispatcher):
 
-* only the ``sfm`` subcommand is collective — with ``--dist-ba`` its final
-  bundle adjustment shards observations over ALL processes' devices
-  (pipeline/triangulation_step.py `_dist_ba_polish`); artifact writes and
+* ``sfm`` is collective — with ``--dist-ba`` its final bundle adjustment
+  shards over ALL processes' devices (point-block landmark sharding on a
+  single process, observation sharding across processes;
+  pipeline/triangulation_step.py `_dist_ba_polish`); artifact writes and
   project mutations happen on the primary only (``is_primary``);
+* ``matches`` is pair-sharded — each process matches a round-robin shard
+  of the pair list and writes ``matches.*.part{pid}.txt``; the primary
+  extracts features, hands the step dir to secondaries through a
+  token-stamped handshake file, and merges the shards
+  (pipeline/compute_matches.py run_compute_matches);
 * every other subcommand is host-side or local-mesh work: secondary
   processes skip it instead of racing on the same artifact files;
-* stage drivers (features/matching) auto-build meshes from
-  ``jax.local_devices()`` only, because their results are fetched to the
-  local host with ``np.asarray``.
+* stage drivers auto-build local meshes from ``jax.local_devices()``
+  because their results are fetched to the local host with
+  ``np.asarray``.
 """
 
 from __future__ import annotations

@@ -21,6 +21,8 @@ class ExifInfo:
     maker: str = ""
     model: str = ""
     focal_length_mm: float = 0.0
+    focal_35mm: float = 0.0          # FocalLengthIn35mmFilm, 0 = absent
+    sensor_width_mm: float = 0.0     # derived from FocalPlane*Resolution
     has_gps: bool = False
     latitude: float = 0.0     # degrees (+N)
     longitude: float = 0.0    # degrees (+E)
@@ -30,12 +32,24 @@ class ExifInfo:
 def _rational(v) -> float:
     try:
         return float(v)
-    except (TypeError, ZeroDivisionError):
-        return 0.0
+    except (TypeError, ZeroDivisionError, ValueError):
+        # some vendors store rationals as (num, den) tuples
+        try:
+            num, den = v
+            return float(num) / float(den) if float(den) else 0.0
+        except Exception:
+            return 0.0
 
 
 def _dms_to_deg(dms, ref: str) -> float:
-    d = _rational(dms[0]) + _rational(dms[1]) / 60.0 + _rational(dms[2]) / 3600.0
+    """GPS coordinate to degrees; tolerates the vendor variants easyexif
+    handles: 3-part D/M/S, 2-part D/M, and single decimal-degree
+    rationals."""
+    try:
+        parts = [_rational(x) for x in dms]
+    except TypeError:
+        parts = [_rational(dms)]
+    d = sum(p / (60.0 ** i) for i, p in enumerate(parts[:3]))
     if ref in ("S", "W"):
         d = -d
     return d
@@ -60,6 +74,25 @@ def read_exif(path: str) -> ExifInfo:
         fl = sub.get(ExifTags.Base.FocalLength, exif.get(ExifTags.Base.FocalLength))
         if fl is not None:
             info.focal_length_mm = _rational(fl)
+        # 35mm-equivalent focal: lets the focal prior work even when the
+        # body is missing from the sensor-width DB (f_px from crop factor)
+        f35 = sub.get(ExifTags.Base.FocalLengthIn35mmFilm,
+                      exif.get(ExifTags.Base.FocalLengthIn35mmFilm))
+        if f35 is not None:
+            info.focal_35mm = _rational(f35)
+        # sensor width from the focal-plane resolution tags (px per unit):
+        # sensor_mm = image_width_px / (xres * unit_to_mm)
+        xres = sub.get(ExifTags.Base.FocalPlaneXResolution)
+        runit = sub.get(ExifTags.Base.FocalPlaneResolutionUnit, 2)
+        if xres is not None and _rational(xres) > 0:
+            unit_mm = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}.get(
+                int(_rational(runit)) or 2, 25.4)
+            px_w = sub.get(ExifTags.Base.ExifImageWidth, info.width)
+            try:
+                px_w = int(_rational(px_w)) or info.width
+            except Exception:
+                px_w = info.width
+            info.sensor_width_mm = px_w / _rational(xres) * unit_mm
         # pixel dims from EXIF override only if present & sane
         try:
             gps = exif.get_ifd(ExifTags.IFD.GPSInfo)

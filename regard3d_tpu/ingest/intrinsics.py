@@ -31,9 +31,19 @@ class ViewIntrinsics:
 
 def focal_prior(exif: ExifInfo, sensor_width_mm: Optional[float]
                 ) -> ViewIntrinsics:
+    """Priority chain (reference :1152-1159, extended for EXIF bodies the
+    sensor DB misses): DB sensor width -> EXIF focal-plane-resolution
+    sensor width -> 35mm-equivalent focal -> 1.1*max(w,h) fallback."""
     m = max(exif.width, exif.height)
-    if exif.focal_length_mm > 0 and sensor_width_mm and sensor_width_mm > 0:
-        f = m * exif.focal_length_mm / sensor_width_mm
+    ccd = (sensor_width_mm if sensor_width_mm and sensor_width_mm > 0
+           else (exif.sensor_width_mm
+                 if 2.0 < exif.sensor_width_mm < 70.0 else 0.0))
+    if exif.focal_length_mm > 0 and ccd > 0:
+        f = m * exif.focal_length_mm / ccd
+        return ViewIntrinsics(f, exif.width, exif.height, RADIAL_K3, True)
+    if exif.focal_35mm > 0:
+        # crop-factor route: f_px = max(w,h) * f35 / 36mm full-frame width
+        f = m * exif.focal_35mm / 36.0
         return ViewIntrinsics(f, exif.width, exif.height, RADIAL_K3, True)
     return ViewIntrinsics(1.1 * m, exif.width, exif.height, RADIAL_K3, False)
 

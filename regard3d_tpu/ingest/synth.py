@@ -66,12 +66,35 @@ def _bilinear(tex, s, t):
             + fx * fy * tex[y0 + 1, x0 + 1])
 
 
+def _undistort_radial(mx, my, disto, iters: int = 12):
+    """Invert x_d = x_u (1 + k1 r^2 + k2 r^4 + k3 r^6) by fixed-point
+    iteration (the OpenMVG radial-K3 convention of core.cameras)."""
+    k1, k2, k3 = disto
+    ux, uy = mx.copy(), my.copy()
+    for _ in range(iters):
+        r2 = ux * ux + uy * uy
+        s = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        ux = mx / s
+        uy = my / s
+    return ux, uy
+
+
 def render_view(quads: List[Quad], R: np.ndarray, C: np.ndarray,
-                f: float, hw: int) -> np.ndarray:
-    """Ray-cast one pinhole view: nearest quad hit wins (exact z-order)."""
+                f: float, hw: int, disto=None) -> np.ndarray:
+    """Ray-cast one view: nearest quad hit wins (exact z-order).
+
+    ``disto=(k1,k2,k3)`` ray-casts THROUGH a radial-K3 lens (the
+    reference's default camera model, src/R3DProject.cpp:1167-1191): each
+    distorted output pixel is un-distorted to its ideal normalized
+    coordinate before the ray is built, so the image is exactly what a
+    radial-K3 camera with those parameters would record."""
     c = hw / 2.0
     ys, xs = np.mgrid[0:hw, 0:hw].astype(np.float64)
-    d_cam = np.stack([(xs - c) / f, (ys - c) / f, np.ones_like(xs)], -1)
+    mx = (xs - c) / f
+    my = (ys - c) / f
+    if disto is not None and any(abs(d) > 0 for d in disto):
+        mx, my = _undistort_radial(mx, my, disto)
+    d_cam = np.stack([mx, my, np.ones_like(xs)], -1)
     d_world = d_cam @ R                       # R^T d (rows of R are axes)
     img = np.zeros((hw, hw), np.float32)
     zbuf = np.full((hw, hw), np.inf)
@@ -105,10 +128,17 @@ def _look_at(C, target, up=(0.0, -1.0, 0.0)):
 
 
 def make_dataset(name: str = "castle", n_cams: int = 11, hw: int = 320,
-                 f: Optional[float] = None, seed: int = 0) -> Dict:
-    """Returns dict(images, Rs, Cs, f, hw, name) with exact GT poses."""
+                 f: Optional[float] = None, seed: int = 0,
+                 disto=None) -> Dict:
+    """Returns dict(images, Rs, Cs, f, hw, name[, disto]) with exact GT
+    poses; ``disto=(k1,k2,k3)`` renders through a radial-K3 lens."""
     rng = np.random.default_rng(seed)
     f = f or 1.3 * hw
+    if name.endswith("_rk3"):
+        # distorted twin of a base dataset, default mild barrel distortion
+        name = name[:-4]
+        if disto is None:
+            disto = (-0.15, 0.02, 0.0)
     if name == "castle":
         # two facades meeting at the origin corner + ground plane
         t1 = _smooth_texture(rng, 160)
@@ -148,6 +178,74 @@ def make_dataset(name: str = "castle", n_cams: int = 11, hw: int = 320,
     for C in Cs:
         R = _look_at(C, target)
         Rs.append(R)
-        images.append(render_view(quads, R, C, f, hw))
+        images.append(render_view(quads, R, C, f, hw, disto=disto))
     return dict(images=images, Rs=np.stack(Rs).astype(np.float64),
-                Cs=Cs.astype(np.float64), f=float(f), hw=hw, name=name)
+                Cs=Cs.astype(np.float64), f=float(f), hw=hw, name=name,
+                disto=tuple(disto) if disto is not None else None)
+
+
+def make_city(n_cams: int = 1000, hw: int = 256, f: Optional[float] = None,
+              seed: int = 0, facade_spacing: float = 5.0,
+              street_half_width: float = 4.0,
+              cull_dist: float = 30.0) -> Dict:
+    """Large sequential dataset: a camera drives down a textured street
+    (facade rows on both sides + ground), ~`n_cams` views with exact GT.
+
+    The scale axis of BASELINE.md (Rome16K stand-in, network-free): view
+    count grows with path length, scene size grows linearly, and only
+    facades within ``cull_dist`` of the camera are ray-cast per view so
+    render cost stays O(1) per image."""
+    rng = np.random.default_rng(seed)
+    f = f or 1.3 * hw
+    step = 0.22                           # camera advance per view
+    length = n_cams * step + 30.0
+    n_fac = int(length / facade_spacing) + 2
+
+    quads = []
+    for k in range(n_fac):
+        x0 = k * facade_spacing - 10.0
+        for side in (-1.0, 1.0):
+            tex = _smooth_texture(rng, 96)
+            depth_jit = rng.uniform(-0.6, 0.6)
+            y_wall = side * (street_half_width + depth_jit)
+            # facade quad: spans [x0, x0+spacing] along x, height 6 in y?
+            # world frame: x = along street, y = down, z = up/across...
+            # keep the castle convention (y vertical-ish, z depth): street
+            # along +x, facades vertical in y, at lateral offset z
+            quads.append(Quad([x0, -3.0, y_wall],
+                              [facade_spacing * 0.92, 0, 0],
+                              [0, 6.0, 0], tex))
+    ground = _smooth_texture(rng, 256)
+    quads.append(Quad([-10.0, 3.0, -street_half_width - 1],
+                      [length + 20.0, 0, 0],
+                      [0, 0, 2 * street_half_width + 2], ground))
+    centers = np.asarray([np.asarray(q.o) + 0.5 * (np.asarray(q.u)
+                                                   + np.asarray(q.v))
+                          for q in quads])
+
+    Rs, Cs, images = [], [], []
+    for i in range(n_cams):
+        x = 5.0 + i * step
+        C = np.array([x, -0.4 + 0.1 * np.sin(i * 0.05),
+                      0.8 * np.sin(i * 0.02)])
+        # look ahead with alternating lateral sweep so facades on both
+        # sides get seen from many angles
+        sweep = 2.2 * np.sin(i * 0.1)
+        target = np.array([x + 6.0, 0.2, sweep])
+        R = _look_at(C, target)
+        near = [q for q, c in zip(quads, centers)
+                if abs(c[0] - x) < cull_dist or q is quads[-1]]
+        Rs.append(R)
+        Cs.append(C)
+        images.append(render_view(near, R, C, f, hw))
+    return dict(images=images, Rs=np.stack(Rs).astype(np.float64),
+                Cs=np.stack(Cs).astype(np.float64), f=float(f), hw=hw,
+                name="city", disto=None)
+
+
+def window_pairs(n: int, window: int = 8):
+    """Sequential pair pruning for ordered captures: each view pairs with
+    its next ``window`` successors (the large-N alternative to exhaustive
+    O(N^2) pairing)."""
+    return [(i, j) for i in range(n)
+            for j in range(i + 1, min(i + 1 + window, n))]

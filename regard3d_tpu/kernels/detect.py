@@ -103,6 +103,56 @@ def _window_max(r, radius: int):
         [(0, 0), (radius, radius), (radius, radius)])
 
 
+def _row_max(r, lo: int, hi: int):
+    """Horizontal running max over dx in [lo, hi] (inclusive). r: (B,H,W)."""
+    if lo > hi:
+        return jnp.full_like(r, -jnp.inf)
+    k = hi - lo + 1
+    return jax.lax.reduce_window(
+        r, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1),
+        [(0, 0), (0, 0), (hi, -lo)])
+
+
+def _shift_rows(r, dy: int):
+    """Shift rows so out[y] = r[y+dy], -inf fill."""
+    if dy == 0:
+        return r
+    B, H, W = r.shape
+    pad = jnp.full((B, abs(dy), W), -jnp.inf, r.dtype)
+    if dy > 0:
+        return jnp.concatenate([r[:, dy:], pad], axis=1)
+    return jnp.concatenate([pad, r[:, :dy]], axis=1)
+
+
+def _circular_max(r, radius: float, causal: bool = False):
+    """Max over a CIRCULAR disc of offsets (dy,dx), dy^2+dx^2 <= radius^2 —
+    the reference's suppression footprint is the euclidean ball
+    ``dist <= point.size^2`` (AKAZE.cpp:308-312), not a square window.
+
+    ``causal=True`` restricts to offsets scanned EARLIER in the reference's
+    row-major keypoint loop (dy<0, or dy==0 and dx<0): the same-class duel
+    is only ever fought against points already in ``kpts_aux``
+    (AKAZE.cpp:304-323), so later-scanned rivals cannot suppress."""
+    R = int(math.floor(radius))
+    out = None
+    for dy in range(-R, R + 1):
+        if causal and dy > 0:
+            break
+        rem = radius * radius - dy * dy
+        if rem < 0:
+            continue
+        kx = int(math.floor(math.sqrt(rem)))
+        if causal and dy == 0:
+            row = _row_max(r, -kx, -1)
+        else:
+            row = _row_max(r, -kx, kx)
+        row = _shift_rows(row, dy)
+        out = row if out is None else jnp.maximum(out, row)
+    if out is None:
+        out = jnp.full_like(r, -jnp.inf)
+    return out
+
+
 def _upsample2_nearest(r):
     return jnp.repeat(jnp.repeat(r, 2, axis=1), 2, axis=2)
 
@@ -116,6 +166,21 @@ def find_extrema(levels: List[ss.Evolution], ldets,
                  cfg: ss.ScaleSpaceConfig):
     """Scale-space extrema with cross-level suppression.
 
+    Vectorized restatement of the reference's greedy keypoint-list duels
+    (AKAZE.cpp:273-385): a candidate at class i is dropped iff
+      * an EARLIER-scanned same-class candidate within the circular radius
+        beats-or-ties it (pass 1, ties favor the list point, :314-318) —
+        modeled by a causal half-disc window;
+      * a class i-1 candidate within radius beats-or-ties it (pass 1; all
+        lower-class points precede it in the list);
+      * a class i+1 candidate within radius STRICTLY beats it (pass 2,
+        :361-380, `<` comparison).
+    The footprint is the euclidean disc dist <= size (original-image px),
+    i.e. radius size/ratio in level pixels — NOT a square window.  The
+    break-on-first-neighbour leniency and replacement-removal dynamics of
+    the greedy list are order-dependent and not modeled; the golden gate
+    (tests/test_akaze_golden.py) bounds the statistical deviation.
+
     Returns per-level boolean masks of surviving candidates."""
     nlev = len(levels)
     # candidate response maps (masked NMS)
@@ -124,29 +189,56 @@ def find_extrema(levels: List[ss.Evolution], ldets,
         m = _nms3x3(ldet, cfg.dthreshold, cfg.min_dthreshold)
         cand.append(jnp.where(m, ldet, 0.0))
 
-    keep_masks = []
-    for i, lv in enumerate(levels):
-        m = lv.meta
-        # suppression radius in this level's pixel units: size/ratio
-        size = m.esigma * cfg.derivative_factor
-        radius = max(int(round(size / m.ratio)), 1)
+    def radius_of(i):
+        m = levels[i].meta
+        return max(m.esigma * cfg.derivative_factor / m.ratio, 1.0)
+
+    def align(src_i, dst_i, r):
+        """Resample level src_i's map onto level dst_i's grid."""
+        if levels[src_i].meta.octave < levels[dst_i].meta.octave:
+            return _downsample2_max(r)
+        if levels[src_i].meta.octave > levels[dst_i].meta.octave:
+            return _upsample2_nearest(r)
+        return r
+
+    # Pass 1, levels ascending — the duel partner is the SURVIVOR map of
+    # the previous class, not its raw candidates: a class-(i-1) point that
+    # was itself replaced is gone from kpts_aux and cannot suppress.  This
+    # reproduces the greedy list's class-parity dynamics (a persistent
+    # corner collapses classes i-1/i to the stronger one, and class i+1
+    # then duels only the survivor).
+    surv = [None] * nlev
+    for i in range(nlev):
         me = cand[i]
-        rivals = [_window_max(me, radius)]
-        for j in (i - 1, i + 1):
-            if j < 0 or j >= nlev:
-                continue
-            other = cand[j]
-            if levels[j].meta.octave < m.octave:
-                other = _downsample2_max(other)
-            elif levels[j].meta.octave > m.octave:
-                other = _upsample2_nearest(other)
-            rivals.append(_window_max(other, radius))
-        rival_max = rivals[0]
-        for r in rivals[1:]:
-            rival_max = jnp.maximum(rival_max, r)
-        # survive if this candidate is the (weak) max among rivals; own value
-        # participates in rivals[0], so >= keeps it, ties double-keep (rare)
-        keep_masks.append((me > 0) & (me >= rival_max))
+        r_i = radius_of(i)
+        ok = me > 0
+        # same-class: survivor of the disc duel (self-inclusive max; the
+        # greedy replacement chain converges to the disc max)
+        ok = ok & (me >= _circular_max(me, r_i))
+        if i > 0:
+            rival = _circular_max(align(i - 1, i, surv[i - 1]), r_i)
+            ok = ok & ~(rival >= me)          # ties favor the list point
+        surv[i] = jnp.where(ok, me, 0.0)
+        if i > 0:
+            # replacement-removal: an accepted class-i point REPLACES any
+            # weaker class-(i-1) survivor within its radius (AKAZE.cpp
+            # :314-316, kpts_aux[id_repeated] = point)
+            m_lo = levels[i - 1].meta
+            r_on_lower = max(levels[i].meta.esigma * cfg.derivative_factor
+                             / m_lo.ratio, 1.0)
+            beat = _circular_max(align(i, i - 1, surv[i]), r_on_lower)
+            surv[i - 1] = jnp.where(beat > surv[i - 1], 0.0, surv[i - 1])
+
+    # Pass 2: drop a survivor iff a class-(i+1) survivor within radius is
+    # STRICTLY stronger (AKAZE.cpp:361-380)
+    keep_masks = []
+    for i in range(nlev):
+        me = surv[i]
+        keep = me > 0
+        if i + 1 < nlev:
+            rival = _circular_max(align(i + 1, i, surv[i + 1]), radius_of(i))
+            keep = keep & ~(rival > me)
+        keep_masks.append(keep)
     return keep_masks
 
 

@@ -98,9 +98,15 @@ def _match_kernel(a_ref, b_ref, bnorm_ref, d1_ref, i1_ref, d2_ref,
 
     a = a_ref[:]                     # (TM, D)
     b = b_ref[:]                     # (TN, D)
-    # -2 a.b^T + |b|^2  (|a|^2 is a per-row constant — added at the end)
+    # -2 a.b^T + |b|^2  (|a|^2 is a per-row constant — added at the end).
+    # precision is pinned per-dtype: the global production setting is
+    # "highest" (f32 RANSAC safety), which Mosaic rejects for bf16 operands
+    # ("Bad lhs type") and which would silently disable the bf16 speedup.
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     ab = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
     d_tile = bnorm_ref[:] - 2.0 * ab          # (TM, TN), bnorm broadcast row
     tn = d_tile.shape[1]
     d1, i1, d2 = _top2_update(acc_d1[:, 0], acc_i1[:, 0], acc_d2[:, 0],
@@ -180,6 +186,101 @@ def l2_top2_pallas(desc_a, desc_b, mask_b, tile_m: int = 256,
     return d1[:, 0], i1[:, 0], d2[:, 0]
 
 
+def _match_block_kernel(pairs_ref, a_ref, b_ref, bnorm_ref,
+                        d1_ref, i1_ref, d2_ref, acc_d1, acc_i1, acc_d2):
+    """Batched pair-block matcher. Grid (P, num_a_tiles, num_b_tiles); the
+    pair table is scalar-prefetched and drives the BlockSpec index maps, so
+    each (tile_m, D) / (tile_n, D) tile is DMA'd straight out of the shared
+    (B, N, D) descriptor array — no per-pair gather copies ever hit HBM."""
+    j = pl.program_id(2)
+    nb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_d1[:] = jnp.full_like(acc_d1, _BIG)
+        acc_i1[:] = jnp.zeros_like(acc_i1)
+        acc_d2[:] = jnp.full_like(acc_d2, _BIG)
+
+    a = a_ref[0]                     # (TM, D)
+    b = b_ref[0]                     # (TN, D)
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    ab = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    d_tile = bnorm_ref[0] - 2.0 * ab
+    tn = d_tile.shape[1]
+    d1, i1, d2 = _top2_update(acc_d1[:, 0], acc_i1[:, 0], acc_d2[:, 0],
+                              d_tile, j * tn)
+    acc_d1[:, 0] = d1
+    acc_i1[:, 0] = i1
+    acc_d2[:, 0] = d2
+
+    @pl.when(j == nb - 1)
+    def _flush():
+        af = a.astype(jnp.float32)
+        anorm = jnp.sum(af * af, axis=1)
+        d1_ref[0, :, 0] = jnp.maximum(acc_d1[:, 0] + anorm, 0.0)
+        i1_ref[0, :, 0] = acc_i1[:, 0]
+        d2_ref[0, :, 0] = jnp.maximum(acc_d2[:, 0] + anorm, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "bf16"))
+def l2_top2_block_pallas(desc, mask, pairs, tile_m: int = 512,
+                         tile_n: int = 1024, bf16: bool = True):
+    """Fused two-NN search for a BLOCK of pairs in one kernel launch.
+
+    desc: (B, N, D); mask: (B, N); pairs: (P, 2) int32.  Returns
+    (d1, i1, d2) each (P, N).  The production fast path of
+    ``match_pair_block`` (P2 pair-block parallelism)."""
+    B, N, D = desc.shape
+    P = pairs.shape[0]
+    assert N % tile_m == 0 and N % tile_n == 0, (N, tile_m, tile_n)
+    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    bnorm = jnp.where(mask, jnp.sum(desc.astype(jnp.float32) ** 2, -1),
+                      _BIG)[:, None, :]                       # (B, 1, N)
+
+    grid = (P, N // tile_m, N // tile_n)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _match_block_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile_m, D),
+                             lambda p, i, j, pr: (pr[p, 0], i, 0)),
+                pl.BlockSpec((1, tile_n, D),
+                             lambda p, i, j, pr: (pr[p, 1], j, 0)),
+                pl.BlockSpec((1, 1, tile_n),
+                             lambda p, i, j, pr: (pr[p, 1], 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_m, 1), lambda p, i, j, pr: (p, i, 0)),
+                pl.BlockSpec((1, tile_m, 1), lambda p, i, j, pr: (p, i, 0)),
+                pl.BlockSpec((1, tile_m, 1), lambda p, i, j, pr: (p, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_m, 1), jnp.float32),
+                pltpu.VMEM((tile_m, 1), jnp.int32),
+                pltpu.VMEM((tile_m, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((P, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((P, N, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * N * N * D, transcendentals=0,
+            bytes_accessed=2 * P * N * D * (2 if bf16 else 4)),
+        interpret=interpret,
+    )(pairs, desc.astype(in_dtype), desc.astype(in_dtype), bnorm)
+    d1, i1, d2 = out
+    return d1[..., 0], i1[..., 0], d2[..., 0]
+
+
 def _auto_tiles(M: int, N: int):
     """Largest MXU-friendly tiles dividing the padded sizes.  tm=512 /
     tn=1024 measured fastest on v5e (40 TFLOP/s f32, ~2x the 256/512
@@ -236,21 +337,22 @@ def match_pair_block(desc, mask, pairs, ratio: float = 0.8,
     parallelism; also amortizes per-dispatch latency). desc: (B, N, D)
     padded descriptors; mask: (B, N); pairs: (P, 2) int32 image indices.
     Returns (idx (P, N), d1, ok)."""
-    da = desc[pairs[:, 0]]
-    db = desc[pairs[:, 1]]
     ma = mask[pairs[:, 0]]
-    mb = mask[pairs[:, 1]]
     if tile_m is None or tile_n is None:
         auto_m, auto_n = _auto_tiles(desc.shape[1], desc.shape[1])
         tile_m = auto_m if tile_m is None else tile_m
         tile_n = auto_n if tile_n is None else tile_n
     use_pallas = use_pallas and tile_m is not None and tile_n is not None
     if use_pallas:
-        f = jax.vmap(lambda a, b, m: l2_top2_pallas(a, b, m, tile_m, tile_n,
-                                                    bf16))
-        d1, i1, d2 = f(da, db, mb)
+        # scalar-prefetch batched kernel: tiles stream straight from the
+        # shared descriptor array, no per-pair gather copies
+        d1, i1, d2 = l2_top2_block_pallas(desc, mask, pairs,
+                                          tile_m, tile_n, bf16)
         ok = ma & (d1 < (ratio * ratio) * d2) & (d1 < 1e30)
         return i1, d1, ok
+    da = desc[pairs[:, 0]]
+    db = desc[pairs[:, 1]]
+    mb = mask[pairs[:, 1]]
     if bf16:
         # apply the same input quantization as the Pallas bf16 path so
         # CPU tests measure representative precision behaviour

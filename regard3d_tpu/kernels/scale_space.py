@@ -81,10 +81,24 @@ def fed_tau_by_process_time(T: float, M: int = 1, tau_max: float = 0.25) -> np.n
     return (d / (h * h)).astype(np.float32)
 
 
-def level_metas(cfg: ScaleSpaceConfig) -> List[LevelMeta]:
+def num_octaves(cfg: ScaleSpaceConfig, height: int = 0,
+                width: int = 0) -> int:
+    """Octave count capped by image size (AKAZE Allocate_Memory_Evolution:
+    an octave is dropped when its level would be < 80 wide or < 40 tall)."""
+    omax = cfg.omax
+    if height and width:
+        for i in range(1, cfg.omax):
+            if (width >> i) < 80 or (height >> i) < 40:
+                omax = i
+                break
+    return omax
+
+
+def level_metas(cfg: ScaleSpaceConfig, height: int = 0,
+                width: int = 0) -> List[LevelMeta]:
     metas = []
     idx = 0
-    for o in range(cfg.omax):
+    for o in range(num_octaves(cfg, height, width)):
         for j in range(cfg.nsublevels):
             es = cfg.esigma(o, j)
             et = cfg.etime(o, j)
@@ -294,14 +308,16 @@ def build_scale_space(img, cfg: ScaleSpaceConfig = ScaleSpaceConfig()):
     """img: (B, H, W) float in [0,1]; H, W divisible by 2**(omax-1).
     Returns (levels: List[Evolution], kcontrast: (B,))."""
     B, H, W = img.shape
-    assert H % (1 << (cfg.omax - 1)) == 0 and W % (1 << (cfg.omax - 1)) == 0, \
-        f"image dims {H}x{W} must be divisible by {1 << (cfg.omax - 1)}"
-    metas = level_metas(cfg)
+    no = num_octaves(cfg, H, W)
+    assert H % (1 << (no - 1)) == 0 and W % (1 << (no - 1)) == 0, \
+        f"image dims {H}x{W} must be divisible by {1 << (no - 1)}"
+    metas = level_metas(cfg, H, W)
     k = compute_k_percentile(img, cfg)
 
     Lt = gaussian_blur(img, cfg.soffset)
     levels: List[Evolution] = []
-    levels.append(Evolution(metas[0], Lt, gaussian_blur(Lt, 1.0)))
+    # level 0: Lsmooth IS Lt (reference copies, AKAZE.cpp:116)
+    levels.append(Evolution(metas[0], Lt, Lt))
     kcur = k
     for m in metas[1:]:
         prev = levels[-1]
@@ -310,11 +326,15 @@ def build_scale_space(img, cfg: ScaleSpaceConfig = ScaleSpaceConfig()):
             kcur = kcur * 0.75
         else:
             Lt = prev.Lt
+        # the reference stores Lsmooth = blur of the PRE-diffusion Lt
+        # (AKAZE.cpp:128-141: Lsmooth/flow are computed before the FED
+        # steps advance Lt) — detection derivatives for level i therefore
+        # see the level-(i-1) diffusion state, one step "early"
         Lsmooth = gaussian_blur(Lt, 1.0)
         Lx = scharr(Lsmooth, 1, 0, 1)
         Ly = scharr(Lsmooth, 0, 1, 1)
         g = pm_g2(Lx, Ly, kcur)
         for tau in m.taus:
             Lt = nld_step(Lt, g, float(tau))
-        levels.append(Evolution(m, Lt, gaussian_blur(Lt, 1.0)))
+        levels.append(Evolution(m, Lt, Lsmooth))
     return levels, k

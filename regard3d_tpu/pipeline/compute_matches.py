@@ -197,7 +197,8 @@ def match_all_pairs(kps, descs, cfg: MatchConfig,
     out = {}
     # fixed-size pair blocks: one device dispatch per block (P2 pair-block
     # parallelism; kills per-pair dispatch overhead at many-image scale)
-    BLOCK = 16 * _mesh_size(mesh)
+    BLOCK = 64 * _mesh_size(mesh)   # 64 pairs/dispatch amortizes launch
+                                    # latency into the prefetch kernel
     total = len(pairs)
     padded = pairs + [pairs[-1]] * ((-len(pairs)) % BLOCK)
     for start in range(0, len(padded), BLOCK):
@@ -399,6 +400,31 @@ def write_stage_sfm_data(out_dir: str, image_sizes: np.ndarray,
             fh.write(f"{name};{image_sizes[i, 0]};{image_sizes[i, 1]}\n")
 
 
+def _job_token() -> str:
+    """Unique-per-launch token (the coordinator address) so sync markers
+    from a previous run of the same step dir can never satisfy a wait."""
+    return os.environ.get("R3D_COORDINATOR", "local")
+
+
+def _write_marker(path: str):
+    with open(path, "w") as fh:
+        fh.write(_job_token())
+
+
+def _wait_for_marker(path: str, timeout_s: float = 3600.0):
+    t0 = time.time()
+    while True:
+        try:
+            with open(path) as fh:
+                if fh.read().strip() == _job_token():
+                    return
+        except OSError:
+            pass
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(f"timed out waiting for {path}")
+        time.sleep(0.5)
+
+
 def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         threshold: float = 0.0007,
                         cfg: MatchConfig = MatchConfig(),
@@ -407,11 +433,23 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         force: bool = False,
                         image_names: Optional[Sequence[str]] = None,
                         detector: str = "fast-akaze",
-                        progress=None, mesh=None) -> Dict:
+                        progress=None, mesh=None,
+                        proc_id: int = 0, proc_count: int = 1,
+                        pairs: Optional[List[Tuple[int, int]]] = None
+                        ) -> Dict:
     """Full compute-matches step on a list of gray images. Returns stats.
 
     With several devices visible, matching and geometric filtering shard
-    pair blocks over a 1-D ``pairs`` mesh automatically."""
+    pair blocks over a 1-D ``pairs`` mesh automatically.
+
+    With ``proc_count > 1`` (``r3d launch -n N -- matches``) the PAIR LIST
+    is round-robin-sharded across processes (the N-host form of the
+    reference's OpenMP pair loop, src/R3DComputeMatches.cpp:877-899 — P2
+    in SURVEY.md §2.3): the primary extracts features (shared via the
+    on-disk cache), every process matches+filters its own pair shard and
+    writes ``matches.*.part{pid}.txt``, and the primary merges the parts
+    into the standard artifacts.  Synchronization is file-based (same
+    filesystem), matching the step-directory contract."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     if mesh is None and len(jax.local_devices()) > 1:
@@ -419,16 +457,65 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
         from regard3d_tpu.dist import mesh as mesh_mod
         mesh = mesh_mod.make_mesh("pairs", devices=jax.local_devices())
     sizes0 = np.asarray([[im.shape[1], im.shape[0]] for im in images])
-    write_stage_sfm_data(out_dir, sizes0, focals, image_names)
-    counts = feat_mod.extract_features(images, out_dir, threshold,
-                                       max_keypoints, force=force,
-                                       detector=detector,
-                                       progress=progress)
+    feat_marker = os.path.join(out_dir, ".features_done")
+    if proc_id == 0 and proc_count > 1:
+        # clear stale sync markers from a previous run of this step dir
+        for fn in os.listdir(out_dir):
+            if fn == ".features_done" or (fn.startswith(".part")
+                                          and fn.endswith(".done")):
+                os.remove(os.path.join(out_dir, fn))
+    if proc_id == 0:
+        write_stage_sfm_data(out_dir, sizes0, focals, image_names)
+        counts = feat_mod.extract_features(images, out_dir, threshold,
+                                           max_keypoints, force=force,
+                                           detector=detector,
+                                           progress=progress)
+        if proc_count > 1:
+            _write_marker(feat_marker)
+    else:
+        _wait_for_marker(feat_marker)
+        counts = None
     kps, descs = feat_mod.load_all_padded(out_dir, len(images), pad_to=256)
-    putative = match_all_pairs(kps, descs, cfg, progress=progress, mesh=mesh)
+    my_pairs = pairs
+    if proc_count > 1:
+        all_pairs = (pairs if pairs is not None
+                     else exhaustive_pairs(len(images)))
+        my_pairs = all_pairs[proc_id::proc_count]
+    putative = match_all_pairs(kps, descs, cfg, pairs=my_pairs,
+                               progress=progress, mesh=mesh)
     image_sizes = np.asarray([[im.shape[1], im.shape[0]] for im in images])
     filt = geometric_filter(kps, putative, image_sizes, focals, cfg,
                             progress=progress, mesh=mesh)
+
+    if proc_count > 1:
+        # write this process' shard, then the primary merges all shards
+        for tag, d in (("putative", putative), ("f", filt.f),
+                       ("e", filt.e), ("h", filt.h)):
+            save_matches_txt(
+                os.path.join(out_dir, f"matches.{tag}.part{proc_id}.txt"), d)
+        _write_marker(os.path.join(out_dir, f".part{proc_id}.done"))
+        if proc_id != 0:
+            return {"role": f"secondary {proc_id}/{proc_count}",
+                    "pairs_matched": len(putative)}
+        merged = {}
+        for tag in ("putative", "f", "e", "h"):
+            d = {}
+            for p in range(proc_count):
+                _wait_for_marker(os.path.join(out_dir, f".part{p}.done"))
+                d.update(load_matches_txt(
+                    os.path.join(out_dir, f"matches.{tag}.part{p}.txt")))
+            merged[tag] = d
+        putative = merged["putative"]
+        filt = FilterResult(
+            merged["f"], merged["e"], merged["h"],
+            {"pairs_putative": len(merged["putative"]),
+             "pairs_f": len(merged["f"]),
+             "pairs_e": len(merged["e"]),
+             "pairs_h": len(merged["h"]),
+             **{f"matches_{t}": int(sum(len(m) for m in
+                                        (merged[t] if t != "putative"
+                                         else putative).values()))
+                for t in ("putative", "f", "e", "h")}})
 
     save_matches_txt(os.path.join(out_dir, "matches.putative.txt"), putative)
     save_matches_txt(os.path.join(out_dir, "matches.f.txt"), filt.f)

@@ -61,10 +61,105 @@ def _histogram_svg(edges: Sequence[float], counts: Sequence[int],
             f'{x_label}</text></svg>')
 
 
+def scene_snapshots_svg(C, R, pose_mask, X, point_mask,
+                        colors=None, width: int = 420, height: int = 420,
+                        max_points: int = 4000) -> str:
+    """Static scene renders for the report — the headless stand-in for the
+    reference's interactive OSG viewer (Regard3DModelViewHelper.cpp:40-65):
+    three orthographic projections (top / front / side) of the sparse cloud
+    with camera frusta, as inline SVG (no JS, no GL).
+
+    C: (V,3) camera centers; R: (V,3,3) world->cam rotations; pose_mask:
+    (V,) bool; X: (L,3) points; point_mask: (L,) bool; colors: optional
+    (L,3) float [0,1]."""
+    import numpy as np
+
+    C = np.asarray(C, np.float64)
+    R = np.asarray(R, np.float64)
+    pm = np.asarray(pose_mask, bool)
+    X = np.asarray(X, np.float64)
+    lm = np.asarray(point_mask, bool)
+    P = X[lm]
+    if len(P) == 0 and not pm.any():
+        return ""
+    if len(P) > max_points:
+        step = len(P) // max_points + 1
+        sel = np.arange(0, len(P), step)
+        P = P[sel]
+        cols = None if colors is None else np.asarray(colors)[lm][sel]
+    else:
+        cols = None if colors is None else np.asarray(colors)[lm]
+
+    # robust scene bounds from point percentiles + camera centers
+    ref_pts = np.concatenate([P, C[pm]]) if pm.any() else P
+    lo = np.percentile(ref_pts, 2, axis=0)
+    hi = np.percentile(ref_pts, 98, axis=0)
+    ctr = 0.5 * (lo + hi)
+    scale = float(max((hi - lo).max(), 1e-9))
+    frustum = 0.06 * scale
+
+    # camera frusta: 4 corner rays in the camera frame, mapped to world
+    # (x_world = C + R^T x_cam), 35 deg half-angle square pyramid
+    corners_cam = np.array([[-.6, -.45, 1], [.6, -.45, 1],
+                            [.6, .45, 1], [-.6, .45, 1]]) * frustum
+    frusta = []
+    for v in np.nonzero(pm)[0]:
+        apex = C[v]
+        base = apex + corners_cam @ R[v]          # R^T applied row-wise
+        frusta.append((apex, base))
+
+    def render(axes, label):
+        ax, ay = axes
+        pad = 18
+        span = scale * 1.08
+
+        def to_px(w):
+            x = (w[..., ax] - ctr[ax]) / span * (width - 2 * pad) + width / 2
+            y = (height / 2
+                 - (w[..., ay] - ctr[ay]) / span * (height - 2 * pad))
+            return x, y
+
+        px, py = to_px(P)
+        inside = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+        dots = []
+        for i in np.nonzero(inside)[0]:
+            c = "#467"
+            if cols is not None:
+                rgb = (np.clip(cols[i], 0, 1) * 255).astype(int)
+                c = f"rgb({rgb[0]},{rgb[1]},{rgb[2]})"
+            dots.append(f'<rect x="{px[i]:.1f}" y="{py[i]:.1f}" '
+                        f'width="1.6" height="1.6" fill="{c}"/>')
+        lines = []
+        for apex, base in frusta:
+            axp, ayp = to_px(apex)
+            bx, by = to_px(base)
+            for j in range(4):
+                lines.append(
+                    f'<line x1="{axp:.1f}" y1="{ayp:.1f}" x2="{bx[j]:.1f}" '
+                    f'y2="{by[j]:.1f}" stroke="#c33" stroke-width="0.8"/>')
+                k = (j + 1) % 4
+                lines.append(
+                    f'<line x1="{bx[j]:.1f}" y1="{by[j]:.1f}" '
+                    f'x2="{bx[k]:.1f}" y2="{by[k]:.1f}" stroke="#c33" '
+                    f'stroke-width="0.8"/>')
+        return (f'<svg width="{width}" height="{height}" '
+                f'xmlns="http://www.w3.org/2000/svg" '
+                f'style="background:#fafafa;border:1px solid #ccc">'
+                + "".join(dots) + "".join(lines)
+                + f'<text x="8" y="16" font-size="12" fill="#333">{label}'
+                  '</text></svg>')
+
+    panels = [render((0, 2), "top (X-Z)"), render((0, 1), "front (X-Y)"),
+              render((2, 1), "side (Z-Y)")]
+    return ('<div style="display:flex;gap:8px;flex-wrap:wrap">'
+            + "".join(panels) + "</div>")
+
+
 def write_html_report(path: str, stats: Dict[str, Any], params=None,
                       views: Optional[List[Dict[str, Any]]] = None,
                       histogram: Optional[Tuple[Sequence[float],
-                                                Sequence[int]]] = None):
+                                                Sequence[int]]] = None,
+                      snapshots: Optional[str] = None):
     """Reconstruction report.  ``views``: per-view dicts with keys
     id/name/width/height/posed/n_obs/mean_px/median_px; ``histogram``:
     (bin_edges, counts) of live reprojection residuals."""
@@ -95,6 +190,9 @@ def write_html_report(path: str, stats: Dict[str, Any], params=None,
         edges, counts = histogram
         hist_html = ("<h2>Residual histogram</h2>"
                      + _histogram_svg(list(edges), list(counts)))
+    snap_html = ""
+    if snapshots:
+        snap_html = "<h2>Scene</h2>" + snapshots
     order = stats.get("order_added")
     order_html = ""
     if order:
@@ -106,6 +204,7 @@ def write_html_report(path: str, stats: Dict[str, Any], params=None,
 <h1>Reconstruction report</h1>
 <h2>Parameters</h2>{param_rows}
 <h2>Results</h2>{stat_rows}
+{snap_html}
 {view_html}
 {hist_html}
 {order_html}

@@ -254,9 +254,14 @@ def run_triangulation(matches_dir: str, out_dir: str,
     else:
         hist = None
     if write_artifacts:
+        from regard3d_tpu.pipeline.report import scene_snapshots_svg
+        snaps = scene_snapshots_svg(
+            result.C, result.R, result.pose_mask,
+            result.X, np.asarray(result.track_ok), colors=colors)
         write_html_report(os.path.join(out_dir,
                                        "Reconstruction_Report.html"),
-                          stats, params, views=views_rows, histogram=hist)
+                          stats, params, views=views_rows, histogram=hist,
+                          snapshots=snaps)
     return stats
 
 

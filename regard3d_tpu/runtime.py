@@ -11,11 +11,38 @@ BA Schur products; the matcher's fast presets opt into bf16 explicitly).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _machine_tag() -> str:
+    """Fingerprint of the host's CPU capability set.
+
+    XLA:CPU serializes cached executables as AOT results compiled for THIS
+    machine's feature flags; loading (or re-serializing alongside) entries
+    produced on a different machine is undefined behaviour — observed as
+    'Target machine feature ... not supported on the host machine' warnings
+    and a reproducible SIGSEGV inside put_executable_and_time when a
+    mixed-machine dir is reused.  Scoping the cache path by a CPU-flags
+    hash makes a moved disk image start a fresh cache instead."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                flags = platform.machine()
+    except OSError:
+        flags = platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
 
 DEFAULT_CACHE_DIR = os.environ.get(
     "R3D_JAX_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "r3d_jaxcache"))
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 f"r3d_jaxcache_{_machine_tag()}"))
 
 
 def setup(cache_dir: str | None = None, precision: str = "highest") -> None:

@@ -27,12 +27,14 @@ from regard3d_tpu.kernels import scale_space as ss
 DATA = os.path.join(os.path.dirname(__file__), "data", "akaze_golden.npz")
 THRESHOLDS = [0.001, 0.0007, 0.0005, 0.0001]
 
-# gate bounds (measured headroom: recall ~0.75-0.8, count ratio ~0.5-0.8)
-MIN_RECALL = 0.60
-COUNT_RATIO = (0.35, 2.5)
-MAX_MEDIAN_POS_ERR = 0.6      # px, on matched pairs
-MAX_MEDIAN_SIZE_LOGRATIO = np.log(1.45)   # ~1.5 sublevels
-MAX_MEDIAN_ANGLE_ERR = 0.45   # rad, on matched pairs
+# gate bounds (measured headroom after the round-4 scale-space parity fixes
+# — Lsmooth pre-diffusion off-by-one, octave size cap, survivor-map
+# suppression: recall 0.90-0.99, count ratio 0.90-1.00 across all presets)
+MIN_RECALL = 0.85
+COUNT_RATIO = (0.80, 1.25)
+MAX_MEDIAN_POS_ERR = 0.5      # px, on matched pairs
+MAX_MEDIAN_SIZE_LOGRATIO = np.log(1.3)
+MAX_MEDIAN_ANGLE_ERR = 0.35   # rad, on matched pairs
 
 
 @pytest.fixture(scope="module")

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from regard3d_tpu.core import cameras
 from regard3d_tpu.kernels import geometry, ransac
@@ -130,6 +131,7 @@ def test_acransac_f_with_outliers(rng):
     assert (inl & ~true).sum() < 0.05 * (~true).sum() + 3
 
 
+@pytest.mark.medium
 def test_acransac_e_with_outliers(rng):
     s = synth_two_view(rng, n=256, noise=0.5, outlier_frac=0.3)
     key = jax.random.PRNGKey(1)

@@ -74,6 +74,7 @@ def test_translation_averaging_robust(rng, loss):
     assert ate < 0.05 * np.linalg.norm(Cg, axis=1).mean(), ate
 
 
+@pytest.mark.medium
 def test_global_pipeline_full(rng):
     scene = synth_scene(rng, n_cams=8, visibility=0.9, noise_px=0.15)
     inputs, table = build_inputs(scene)
@@ -126,6 +127,7 @@ def collinear_scene(rng, n_cams=7, n_pts=400, f=900.0, w=1280, h=960):
                 w=w, h=h, Cs=Cs, Rs=np.stack(Rs))
 
 
+@pytest.mark.medium
 def test_translation_averaging_collinear_centers(rng):
     """Uneven spacing along a line is unrecoverable from directions alone;
     the shared-track scale reconciliation must recover it (VERDICT weak#7:

@@ -123,6 +123,7 @@ def test_incremental_full_scene(rng):
     assert ate < 0.05, ate  # scene scale ~10
 
 
+@pytest.mark.medium
 def test_incremental_auto_initial_pair(rng):
     scene = synth_scene(rng, n_cams=6)
     inputs, table = build_inputs(scene)
@@ -135,6 +136,7 @@ def test_incremental_auto_initial_pair(rng):
     assert ate < 0.05, ate
 
 
+@pytest.mark.medium
 def test_incremental_with_match_outliers(rng):
     scene = synth_scene(rng, match_outlier_frac=0.1)
     inputs, table = build_inputs(scene)
@@ -151,6 +153,7 @@ def test_incremental_with_match_outliers(rng):
     assert ate < 0.1, ate
 
 
+@pytest.mark.medium
 def test_incremental_radial_distortion(rng):
     scene = synth_scene(rng, model=RADIAL_K3, d=(-0.12, 0.02, 0, 0, 0, 0))
     inputs, table = build_inputs(scene)
@@ -172,6 +175,7 @@ def test_umeyama_alignment(rng):
     assert metrics.ate_rmse(A, B) < 1e-5
 
 
+@pytest.mark.medium
 def test_incremental_gps_anchoring(rng):
     """With center priors, the reconstruction comes back in the metric
     prior frame (no Sim3 alignment needed for the ATE check)."""
@@ -203,6 +207,7 @@ def test_covisibility_pairs_sparse(rng):
     assert all(counts[k] >= counts[k + 1] for k in range(len(counts) - 1))
 
 
+@pytest.mark.medium
 def test_stellar_seed_poses(rng):
     # the stellar initializer must seed a multi-view pod around the hub
     # whose poses match GT after Sim3 alignment
@@ -223,6 +228,7 @@ def test_stellar_seed_poses(rng):
     assert ate < 0.5, ate             # scene scale ~10; seed-level accuracy
 
 
+@pytest.mark.medium
 def test_incremental_stellar_full_scene(rng):
     scene = synth_scene(rng, n_cams=8, n_pts=400, noise_px=0.3)
     inputs, table = build_inputs(scene)

@@ -125,3 +125,133 @@ def test_load_gray_max_dim(tmp_path):
     Image.new("RGB", (400, 200)).save(p)
     img = image_io.load_gray(p, max_dim=100)
     assert max(img.shape) == 100
+
+
+def test_make_city_and_window_pairs():
+    """City dataset: O(1) per-view render cost, exact GT, ordered pairs."""
+    from regard3d_tpu.ingest import synth
+    ds = synth.make_city(n_cams=12, hw=64)
+    assert len(ds["images"]) == 12
+    assert ds["Rs"].shape == (12, 3, 3) and ds["Cs"].shape == (12, 3)
+    # images have real content (textured facades visible)
+    stds = [float(np.std(im)) for im in ds["images"]]
+    assert min(stds) > 0.01, stds
+    # forward motion along +x
+    assert (np.diff(ds["Cs"][:, 0]) > 0).all()
+    pairs = synth.window_pairs(12, window=3)
+    assert (0, 1) in pairs and (0, 3) in pairs and (0, 4) not in pairs
+    assert len(pairs) == sum(min(3, 11 - i) for i in range(12))
+
+
+def test_radial_k3_raycast_distorts():
+    """_rk3 datasets really bend straight lines: the same scene rendered
+    with and without distortion must differ, and the undistort fixed point
+    must invert the forward model of core.cameras."""
+    import jax.numpy as jnp
+    from regard3d_tpu.core import cameras
+    from regard3d_tpu.core.types import RADIAL_K3
+    from regard3d_tpu.ingest import synth
+
+    ds0 = synth.make_dataset("castle", n_cams=2, hw=128, seed=1)
+    ds1 = synth.make_dataset("castle_rk3", n_cams=2, hw=128, seed=1)
+    assert ds1["disto"] is not None
+    d = np.abs(np.asarray(ds0["images"][0]) - np.asarray(ds1["images"][0]))
+    assert d.max() > 0.05        # visibly different rendering
+
+    # inversion check: undistort(distort(m)) == m
+    k1, k2, k3 = ds1["disto"]
+    m = np.asarray([[0.21, -0.33]])
+    r2 = (m ** 2).sum()
+    s = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    md = m * s
+    ux, uy = synth._undistort_radial(md[:, 0], md[:, 1], ds1["disto"])
+    np.testing.assert_allclose(np.stack([ux, uy], -1), m, atol=1e-6)
+
+    # and the forward model used for rendering matches core.cameras
+    intr = np.zeros(9, np.float32)
+    intr[:3] = [300.0, 64.0, 64.0]
+    intr[3:6] = ds1["disto"]
+    X = jnp.asarray([[0.21 * 2, -0.33 * 2, 2.0]])   # normalized (0.21,-0.33)
+    uv, _ = cameras.project(jnp.eye(3), jnp.zeros(3), jnp.int32(RADIAL_K3),
+                            jnp.asarray(intr), X)
+    expect = md[0] * 300.0 + np.asarray([64.0, 64.0])
+    np.testing.assert_allclose(np.asarray(uv[0]), expect, atol=1e-3)
+
+
+def _write_exif_jpeg(path, make="Canon", model="Canon EOS 550D",
+                     focal_mm=24.0, f35=None, fpxres=None, gps=None,
+                     size=(320, 240)):
+    """Real-camera-style JPEG fixture: EXIF written through PIL's encoder
+    (rational focal, sub-IFD tags, D/M/S GPS rationals)."""
+    from PIL import Image
+    from PIL.TiffImagePlugin import IFDRational
+    from PIL import ExifTags
+    im = Image.new("RGB", size, (90, 120, 80))
+    exif = Image.Exif()
+    exif[ExifTags.Base.Make] = make
+    exif[ExifTags.Base.Model] = model
+    sub = exif.get_ifd(ExifTags.IFD.Exif)
+    sub[ExifTags.Base.FocalLength] = IFDRational(int(focal_mm * 100), 100)
+    if f35 is not None:
+        sub[ExifTags.Base.FocalLengthIn35mmFilm] = int(f35)
+    if fpxres is not None:
+        sub[ExifTags.Base.FocalPlaneXResolution] = IFDRational(*fpxres)
+        sub[ExifTags.Base.FocalPlaneResolutionUnit] = 2      # inch
+        sub[ExifTags.Base.ExifImageWidth] = size[0]
+    if gps is not None:
+        lat, lon, alt = gps
+        g = exif.get_ifd(ExifTags.IFD.GPSInfo)
+        def dms(v):
+            v = abs(v)
+            d = int(v); m = int((v - d) * 60)
+            s = (v - d - m / 60.0) * 3600.0
+            return (IFDRational(d, 1), IFDRational(m, 1),
+                    IFDRational(int(s * 1000), 1000))
+        g[ExifTags.GPS.GPSLatitude] = dms(lat)
+        g[ExifTags.GPS.GPSLatitudeRef] = "N" if lat >= 0 else "S"
+        g[ExifTags.GPS.GPSLongitude] = dms(lon)
+        g[ExifTags.GPS.GPSLongitudeRef] = "E" if lon >= 0 else "W"
+        g[ExifTags.GPS.GPSAltitude] = IFDRational(int(alt * 10), 10)
+        g[ExifTags.GPS.GPSAltitudeRef] = 0
+    im.save(path, exif=exif)
+
+
+def test_exif_jpeg_fixture_roundtrip(tmp_path):
+    from regard3d_tpu.ingest import exif as exif_mod
+    p = str(tmp_path / "cam.jpg")
+    _write_exif_jpeg(p, focal_mm=24.0, gps=(47.3769, -8.5417, 408.2))
+    info = exif_mod.read_exif(p)
+    assert info.maker == "Canon" and "550D" in info.model
+    assert info.focal_length_mm == pytest.approx(24.0)
+    assert info.has_gps
+    assert info.latitude == pytest.approx(47.3769, abs=1e-4)
+    assert info.longitude == pytest.approx(-8.5417, abs=1e-4)
+    assert info.altitude == pytest.approx(408.2, abs=0.1)
+
+
+def test_exif_35mm_equivalent_focal_prior(tmp_path):
+    """A body missing from the sensor DB still gets a usable focal prior
+    through FocalLengthIn35mmFilm (crop factor route)."""
+    from regard3d_tpu.ingest import exif as exif_mod, intrinsics
+    p = str(tmp_path / "unknown.jpg")
+    _write_exif_jpeg(p, make="Obscureco", model="X-9000",
+                     focal_mm=12.0, f35=36)
+    info = exif_mod.read_exif(p)
+    assert info.focal_35mm == 36
+    vi = intrinsics.focal_prior(info, None)       # no DB entry
+    assert vi.from_exif
+    assert vi.focal_px == pytest.approx(320 * 36 / 36.0)
+
+
+def test_exif_focal_plane_resolution_sensor_width(tmp_path):
+    """Sensor width derived from FocalPlaneXResolution when the DB has no
+    entry: 320 px / (400 px/inch) * 25.4 = 20.32 mm."""
+    from regard3d_tpu.ingest import exif as exif_mod, intrinsics
+    p = str(tmp_path / "fp.jpg")
+    _write_exif_jpeg(p, make="Obscureco", model="Y-1",
+                     focal_mm=10.0, fpxres=(400, 1))
+    info = exif_mod.read_exif(p)
+    assert info.sensor_width_mm == pytest.approx(20.32, abs=0.01)
+    vi = intrinsics.focal_prior(info, None)
+    assert vi.from_exif
+    assert vi.focal_px == pytest.approx(320 * 10.0 / 20.32, rel=1e-3)

@@ -110,6 +110,7 @@ def test_p3p_grunert_exact(rng):
     assert got >= 0.9 * len(Xs), (got, len(Xs))
 
 
+@pytest.mark.medium
 @pytest.mark.parametrize("outlier_frac", [0.6])
 def test_acransac_e_5pt_beats_8pt_at_high_outliers(rng, outlier_frac):
     """The minimal 5-point sample keeps the all-inlier draw probability
@@ -135,6 +136,7 @@ def test_acransac_e_5pt_beats_8pt_at_high_outliers(rng, outlier_frac):
     assert wins5 >= wins8, (wins5, wins8)
 
 
+@pytest.mark.medium
 def test_acransac_e_5pt_planar_scene(rng):
     """Planar scenes degenerate the 8-point E fit (rank deficiency) but
     not the 5-point solver — the old planar-demotion heuristic is not

@@ -109,3 +109,80 @@ def test_launcher_env_contract(tmp_path):
         2, ["-c", check + "sys.exit(int(os.environ['R3D_PROCESS_ID']))"],
         module=None, devices_per_process=3, log_dir=str(tmp_path))
     assert rc == 1
+
+
+@pytest.mark.slow
+def test_two_process_matches_equals_single(tmp_path):
+    """`r3d launch -n 2 -- matches` (pair-sharded across processes) must
+    produce byte-identical matches.f.txt to the single-process run."""
+    from PIL import Image
+    from regard3d_tpu.dist import launch
+    from regard3d_tpu.ingest import synth
+    from regard3d_tpu.pipeline.compute_matches import load_matches_txt
+
+    ds = synth.make_dataset("castle", n_cams=5, hw=256, seed=3)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i, im in enumerate(ds["images"]):
+        p = str(img_dir / f"im{i:02d}.png")
+        Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    env.pop("R3D_COORDINATOR", None)
+
+    def cli(*a):
+        r = subprocess.run([sys.executable, "-m", "regard3d_tpu.cli", *a],
+                           env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    def find_matches(proj):
+        for d in sorted(os.listdir(proj)):
+            full = os.path.join(proj, d)
+            if d.startswith("matches") and os.path.isdir(full):
+                return full
+        raise AssertionError(f"no matches dir in {proj}")
+
+    # single-process reference
+    p1 = str(tmp_path / "proj1")
+    cli("init", p1)
+    cli("import", p1, *paths)
+    cli("matches", p1, "--max-keypoints", "1024", "--ransac-iters", "256")
+    f1 = load_matches_txt(os.path.join(find_matches(p1), "matches.f.txt"))
+
+    # two coordinated processes, pair list sharded
+    p2 = str(tmp_path / "proj2")
+    cli("init", p2)
+    cli("import", p2, *paths)
+    os.environ_backup = None
+    saved = {k: os.environ.get(k) for k in
+             ("R3D_COORDINATOR", "PYTHONPATH", "JAX_PLATFORMS")}
+    os.environ["PYTHONPATH"] = env["PYTHONPATH"]
+    os.environ["R3D_LAUNCH_PLATFORM"] = "cpu"
+    try:
+        rc = launch.launch_local(
+            2, ["matches", p2, "--max-keypoints", "1024",
+                "--ransac-iters", "256"],
+            devices_per_process=1, log_dir=str(tmp_path / "logs"),
+            timeout=900)
+    finally:
+        os.environ.pop("R3D_LAUNCH_PLATFORM", None)
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert rc == 0
+    md2 = find_matches(p2)
+    f2 = load_matches_txt(os.path.join(md2, "matches.f.txt"))
+
+    assert set(f1) == set(f2), (sorted(f1), sorted(f2))
+    for k in f1:
+        np.testing.assert_array_equal(f1[k], f2[k])
+    # the merged artifacts exist and the shard parts were written
+    assert os.path.exists(os.path.join(md2, "matches.putative.txt"))
+    assert os.path.exists(os.path.join(md2, "matches.f.part1.txt"))

@@ -192,6 +192,7 @@ def test_stage_sfm_data(tmp_path):
     assert lists[0] == "a.jpg;640;480"
 
 
+@pytest.mark.medium
 def test_triangulation_driver_global_engine(tmp_path, rng):
     """Drive run_triangulation(engine=global) from synthetic artifacts."""
     import sys

@@ -68,3 +68,38 @@ def test_settings_roundtrip(tmp_path):
         f.write("{broken")
     s3 = settings.Settings(p)
     assert s3.get("max_keypoints") == 4096
+
+
+def test_scene_snapshots_svg(rng):
+    """Static scene renders (headless stand-in for the reference's OSG
+    viewer): points + frusta from 3 orthographic views, inline SVG."""
+    from regard3d_tpu.pipeline.report import scene_snapshots_svg
+    V, L = 4, 200
+    C = rng.normal(size=(V, 3))
+    R = np.broadcast_to(np.eye(3), (V, 3, 3)).copy()
+    pm = np.ones(V, bool)
+    X = rng.normal(size=(L, 3)) * [2, 1, 1] + [0, 0, 8]
+    lm = rng.uniform(size=L) > 0.2
+    colors = rng.uniform(size=(L, 3))
+    html = scene_snapshots_svg(C, R, pm, X, lm, colors=colors)
+    assert html.count("<svg") == 3
+    assert "top (X-Z)" in html and "front (X-Y)" in html
+    assert html.count("<line") == 3 * V * 8       # 8 edges per frustum
+    assert "<rect" in html
+
+    # empty scene -> empty snippet, not an error
+    assert scene_snapshots_svg(C, R, np.zeros(V, bool), X,
+                               np.zeros(L, bool)) == ""
+
+
+def test_report_with_snapshots(tmp_path, rng):
+    from regard3d_tpu.pipeline.report import (scene_snapshots_svg,
+                                              write_html_report)
+    C = rng.normal(size=(2, 3)); R = np.broadcast_to(np.eye(3), (2, 3, 3))
+    X = rng.normal(size=(50, 3))
+    snaps = scene_snapshots_svg(C, R, np.ones(2, bool), X,
+                                np.ones(50, bool))
+    path = str(tmp_path / "r.html")
+    write_html_report(path, {"num_cameras": 2}, snapshots=snaps)
+    body = open(path).read()
+    assert "<h2>Scene</h2>" in body and "<svg" in body

@@ -68,14 +68,22 @@ def test_halfsample():
 
 
 def test_build_scale_space_shapes(rng):
+    # octave count follows the reference's size cap (an octave is dropped
+    # when its level would be < 80 wide or < 40 tall,
+    # AKAZE.cpp Allocate_Memory_Evolution): 64x64 -> 1 octave only
     img = jnp.asarray(rng.uniform(size=(2, 64, 64)), jnp.float32)
     levels, k = ss.build_scale_space(img)
-    assert len(levels) == 16
+    assert len(levels) == 4
     assert levels[0].Lt.shape == (2, 64, 64)
-    assert levels[4].Lt.shape == (2, 32, 32)
-    assert levels[15].Lt.shape == (2, 8, 8)
     assert k.shape == (2,)
     assert bool(jnp.all(k > 0))
+
+    # 320x320 -> 3 octaves (320/8 = 40 < 80 kills octave 3), 12 levels
+    img = jnp.asarray(rng.uniform(size=(1, 320, 320)), jnp.float32)
+    levels, _ = ss.build_scale_space(img)
+    assert len(levels) == 12
+    assert levels[4].Lt.shape == (1, 160, 160)
+    assert levels[8].Lt.shape == (1, 80, 80)
 
 
 def _synthetic_corners(h=128, w=128, seed=3):
