@@ -309,9 +309,18 @@ def geometric_filter(kps, putative: Dict[Tuple[int, int], np.ndarray],
                     me_e[bi] = (cfg.max_err_px / fmean) ** 2
             mask_e = maskb & has_e[:, None]
 
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, 3 * block)
-            kf, ke, kh = keys[:block], keys[block:2 * block], keys[2 * block:]
+            # per-PAIR keys derived from the pair identity, not the block
+            # position: results are invariant to block composition, so a
+            # pair list sharded across N processes (r3d launch) filters
+            # bit-identically to the single-process run
+            pair_ids = np.zeros((block,), np.uint32)
+            for bi, ((i, j), _m) in enumerate(group):
+                pair_ids[bi] = np.uint32(i * 1000003 + j)
+            base = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                key, jnp.asarray(pair_ids))
+            kf = jax.vmap(lambda k: jax.random.fold_in(k, 0))(base)
+            ke = jax.vmap(lambda k: jax.random.fold_in(k, 1))(base)
+            kh = jax.vmap(lambda k: jax.random.fold_in(k, 2))(base)
 
             def put(a):
                 a = jnp.asarray(a)
