@@ -161,6 +161,19 @@ def main():
     def val(d):
         return d and d.get("value")
 
+    # committed 1000-view full-reconstruction stress result (bench_scale.py
+    # — too long for the per-round bench budget, run + committed in-round)
+    scale = None
+    for fn in ("SCALE1000.json", "SCALE200.json"):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fn)
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    scale = json.load(fh)
+                break
+            except Exception:
+                pass
+
     strong = (val(ba_pt8) / val(ba_cpu1)
               if val(ba_pt8) and val(ba_cpu1) else None)
     strong_obs = (val(ba_obs8) / val(ba_cpu1)
@@ -214,6 +227,13 @@ def main():
                 fb and fb.get("cpu_ransac_pairs_per_s"),
             "features_vs_cpu": fb and fb.get("features_vs_cpu"),
             "ransac_vs_cpu": fb and fb.get("ransac_vs_cpu"),
+            "scale_stress": scale and {
+                k: scale.get(k) for k in
+                ("views", "window", "pairs", "engine", "num_cameras",
+                 "posed_fraction", "num_tracks", "ate",
+                 "ate_fraction_of_extent", "rms_px", "render_s",
+                 "matches_s", "sfm_s", "total_s", "peak_rss_gb",
+                 "backend", "ok")},
         },
     }))
 

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--max-keypoints", type=int, default=1024)
     ap.add_argument("--engine", default="incremental2")
+    ap.add_argument("--ba-every", type=int, default=25,
+                    help="incremental local-BA cadence (views between BAs)")
+    ap.add_argument("--ba-iterations", type=int, default=12)
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
 
@@ -90,7 +93,9 @@ def main():
             intr_id=np.zeros(V, np.int32), intr=intr,
             models=np.asarray([PINHOLE], np.int32),
             params=ts.TriangulationParams(engine=args.engine,
-                                          refine_intrinsics=True))
+                                          refine_intrinsics=True,
+                                          ba_every=args.ba_every,
+                                          ba_iterations=args.ba_iterations))
         stage_t["sfm_s"] = round(time.time() - t2, 1)
         scene = load_npz(os.path.join(tri, "scene.npz"))
 

@@ -226,8 +226,13 @@ def make_city(n_cams: int = 1000, hw: int = 256, f: Optional[float] = None,
     Rs, Cs, images = [], [], []
     for i in range(n_cams):
         x = 5.0 + i * step
-        C = np.array([x, -0.4 + 0.1 * np.sin(i * 0.05),
-                      0.8 * np.sin(i * 0.02)])
+        # lateral weave with a short period: pure forward motion gives
+        # window pairs sub-degree parallax (nothing triangulates); a real
+        # capture platform always weaves, and the ~18-view period makes
+        # neighbours (and i,i+6 pairs) carry 0.5-2.5 units of lateral
+        # baseline against 4-10 units of depth
+        C = np.array([x, -0.4 + 0.15 * np.sin(i * 0.23),
+                      1.3 * np.sin(i * 0.35)])
         # look ahead with alternating lateral sweep so facades on both
         # sides get seen from many angles
         sweep = 2.2 * np.sin(i * 0.1)

@@ -49,6 +49,9 @@ class TriangulationParams:
                                       # drives; every process participates
                                       # in the psum collectives
     dist_ba_iterations: int = 30
+    ba_every: int = 3                 # incremental: local BA cadence —
+                                      # raise for 1000-view-class scenes
+    ba_iterations: int = 20
 
 
 def build_sfm_inputs(matches_dir: str, num_images: int,
@@ -181,7 +184,9 @@ def run_triangulation(matches_dir: str, out_dir: str,
             inputs, initial_pair=init,
             cfg=incremental.IncrementalConfig(
                 refine_intrinsics=params.refine_intrinsics,
-                initializer=params.initializer), seed=seed,
+                initializer=params.initializer,
+                ba_every=params.ba_every,
+                ba_iterations=params.ba_iterations), seed=seed,
             center_priors=(center_priors if params.use_gps else None))
 
     if params.dist_ba:

@@ -474,12 +474,38 @@ def run_incremental(inputs: SfMInputs,
             if not candidates:
                 raise ValueError("no viable initial pair")
         rel = None
+        best_low_parallax = None
         for (ci, cj) in candidates:
             key, k1 = jax.random.split(key)
-            rel = _relative_pose(inputs, xn, ci, cj, k1, cfg)
-            if rel is not None:
-                i0, j0 = ci, cj
-                break
+            r = _relative_pose(inputs, xn, ci, cj, k1, cfg)
+            if r is None:
+                continue
+            # parallax gate (OpenMVG initializer behaviour): a pair whose
+            # median triangulation angle is under the min-angle threshold
+            # would triangulate nothing (forward-motion adjacent pairs on
+            # sequential captures) — keep looking for a wider baseline
+            Rrel_, trel_, oi_, oj_, inl_ = r
+            r1 = np.concatenate([xn[oi_[inl_]],
+                                 np.ones((int(inl_.sum()), 1))], 1)
+            r2 = np.concatenate([xn[oj_[inl_]],
+                                 np.ones((int(inl_.sum()), 1))], 1)
+            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
+            r2w = r2 @ Rrel_                    # R^T r2, rows
+            r2w /= np.linalg.norm(r2w, axis=1, keepdims=True)
+            cosang = np.clip((r1 * r2w).sum(1), -1.0, 1.0)
+            med_deg = float(np.degrees(np.median(np.arccos(cosang))))
+            if med_deg < cfg.min_angle_deg:
+                if best_low_parallax is None:
+                    best_low_parallax = (ci, cj, r)
+                continue
+            rel = r
+            i0, j0 = ci, cj
+            break
+        if rel is None and best_low_parallax is not None:
+            # everything is low-parallax (e.g. pure forward motion with a
+            # short window): fall back to the best candidate rather than
+            # failing outright
+            i0, j0, rel = best_low_parallax
         if rel is None:
             raise ValueError(
                 f"no initial pair with a cheirality-consistent pose "
