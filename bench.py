@@ -162,17 +162,17 @@ def main():
         return d and d.get("value")
 
     # committed 1000-view full-reconstruction stress result (bench_scale.py
-    # — too long for the per-round bench budget, run + committed in-round)
+    # — too long for the per-round bench budget, run + committed in-round).
+    # No fallback: if the 1000-view artifact is absent, say so.
     scale = None
-    for fn in ("SCALE1000.json", "SCALE200.json"):
-        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fn)
-        if os.path.exists(p):
-            try:
-                with open(p) as fh:
-                    scale = json.load(fh)
-                break
-            except Exception:
-                pass
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "SCALE1000.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                scale = json.load(fh)
+        except Exception:
+            pass
 
     strong = (val(ba_pt8) / val(ba_cpu1)
               if val(ba_pt8) and val(ba_cpu1) else None)
@@ -202,18 +202,21 @@ def main():
                 strong and round(strong, 2),
             "ba_strong_scaling_x_mesh8_obs_sharded":
                 strong_obs and round(strong_obs, 2),
+            # headline weak-scaling key = the RAW measurement; the
+            # core-count correction is an estimate and labeled as such
             "ba_weak_scaling_efficiency":
-                weak_cs and round(weak_cs, 2),
-            "ba_weak_scaling_efficiency_cpu_raw":
                 weak and round(weak, 2),
+            "ba_weak_scaling_efficiency_core_scaled_estimate":
+                weak_cs and round(weak_cs, 2),
             "ba_weak_detail": (
                 "point-block sharding; per-device fixed at 12.5k landmarks "
                 "/ 150k obs (1 dev vs mesh-8), CPU backend; host has "
                 f"{NCORES} cores so mesh-8 is {8 // max(NCORES, 1)}x "
-                "oversubscribed — raw efficiency is bounded by "
-                f"{min(8, NCORES)}/8 = {min(8, NCORES)/8:.2f} even with "
-                "zero communication; the headline figure is "
-                "raw * 8/min(8,cores), capped at 1"),
+                "oversubscribed — the raw (headline) efficiency is bounded "
+                f"above by {min(8, NCORES)}/8 = {min(8, NCORES)/8:.2f} even "
+                "with zero communication; the core-scaled key removes that "
+                "bound (raw * 8/min(8,cores), capped at 1) and is an "
+                "ESTIMATE, not a measurement"),
             "ba_point_sharded_1m_landmarks_iters_per_s": val(ba_1m),
             "ba_1m_detail": ba_1m and ba_1m.get("unit"),
             "ba_1m_landmark_state_bytes_per_device":

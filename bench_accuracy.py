@@ -44,7 +44,8 @@ GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "ACCURACY.json")
 
 
-def run_dataset(name: str, seed: int = 0) -> dict:
+def run_dataset(name: str, seed: int = 0, engine: str = "incremental2",
+                ransac_iters: int = 2048) -> dict:
     import jax.numpy as jnp
     from regard3d_tpu.core import metrics
     from regard3d_tpu.core.sfm_data import load_npz
@@ -66,7 +67,7 @@ def run_dataset(name: str, seed: int = 0) -> dict:
         out = os.path.join(tmp, "matches")
         mstats = cm.run_compute_matches(
             ds["images"], out, threshold=0.0001,
-            cfg=cm.MatchConfig(ransac_iters=1024),
+            cfg=cm.MatchConfig(ransac_iters=ransac_iters),
             focals=np.full(V, f_prior), max_keypoints=2048)
 
         intr = np.zeros((1, 9), np.float32)
@@ -76,7 +77,7 @@ def run_dataset(name: str, seed: int = 0) -> dict:
             out, tri, ds["images"],
             intr_id=np.zeros(V, np.int32), intr=intr,
             models=np.asarray([model], np.int32),
-            params=ts.TriangulationParams(engine="incremental2",
+            params=ts.TriangulationParams(engine=engine,
                                           refine_intrinsics=True))
         scene = load_npz(os.path.join(tri, "scene.npz"))
 
@@ -107,7 +108,10 @@ def run_dataset(name: str, seed: int = 0) -> dict:
         "rms_px": round(float(tstats["rms_px"]), 4),
         "pairs_f": int(mstats["pairs_f"]),
         "pairs_e": int(mstats["pairs_e"]),
+        "engine": engine,
+        "ransac_iters": ransac_iters,
         "elapsed_s": round(time.time() - t0, 1),
+        "sfm_profile": tstats.get("profile"),
     }
 
 
@@ -118,6 +122,16 @@ def main():
     ap.add_argument("--datasets",
                     default="castle,fountain,castle_rk3,fountain_rk3")
     ap.add_argument("--update-golden", action="store_true")
+    ap.add_argument("--engine", default="incremental2",
+                    help="incremental | incremental2 | global (global "
+                         "writes GLOBAL.json unless --out is given)")
+    ap.add_argument("--ransac-iters", type=int, default=2048,
+                    help="geometric-filter iterations (reference default "
+                         "2048, src/R3DComputeMatches.cpp:2100)")
+    ap.add_argument("--warm-split", action="store_true", default=True)
+    ap.add_argument("--no-warm-split", dest="warm_split",
+                    action="store_false",
+                    help="skip the second (warm-cache) timing run")
     ap.add_argument("--out", default=GOLDEN_PATH if "--update-golden"
                     in sys.argv else None)
     args = ap.parse_args()
@@ -126,10 +140,21 @@ def main():
     if os.path.exists(GOLDEN_PATH) and not args.update_golden:
         with open(GOLDEN_PATH) as f:
             golden = {r["dataset"]: r for r in json.load(f)["results"]}
+    if args.engine == "global":
+        golden = None    # incremental golden does not gate the global rows
 
     results, failures = [], []
     for name in args.datasets.split(","):
-        r = run_dataset(name)
+        r = run_dataset(name, engine=args.engine,
+                        ransac_iters=args.ransac_iters)
+        if args.warm_split:
+            # identical inputs + seeds -> identical result; the second run
+            # times the pipeline with every compile cache warm (VERDICT r4
+            # weak 7: cold/warm split instead of a mixed number)
+            r2 = run_dataset(name, engine=args.engine,
+                             ransac_iters=args.ransac_iters)
+            r["elapsed_cold_s"] = r.pop("elapsed_s")
+            r["elapsed_warm_s"] = r2["elapsed_s"]
         results.append(r)
         g = GATES[name]
         med = r["residual_px"].get("median", 0.0)
@@ -153,9 +178,11 @@ def main():
         print(json.dumps(r))
 
     payload = {"results": results, "gates": GATES, "ok": not failures}
-    out_path = args.out or (GOLDEN_PATH if args.update_golden else
-                            os.path.join(os.path.dirname(GOLDEN_PATH),
-                                         "ACCURACY.json"))
+    default_name = ("GLOBAL.json" if args.engine == "global"
+                    else "ACCURACY.json")
+    out_path = args.out or (
+        GOLDEN_PATH if (args.update_golden and args.engine != "global")
+        else os.path.join(os.path.dirname(GOLDEN_PATH), default_name))
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
 

@@ -71,6 +71,7 @@ def main():
 
     f_prior = 1.03 * ds["f"]
     stage_t = {}
+    stage_rss = {"render_rss_gb": round(peak_rss_gb(), 2)}
     with tempfile.TemporaryDirectory() as tmp:
         out = os.path.join(tmp, "matches")
         t1 = time.time()
@@ -81,6 +82,7 @@ def main():
             max_keypoints=args.max_keypoints, pairs=pairs,
             progress=None)
         stage_t["matches_s"] = round(time.time() - t1, 1)
+        stage_rss["matches_rss_gb"] = round(peak_rss_gb(), 2)
         print(f"# matching done in {stage_t['matches_s']}s: "
               f"{mstats['pairs_f']} F-pairs", flush=True)
 
@@ -97,6 +99,7 @@ def main():
                                           ba_every=args.ba_every,
                                           ba_iterations=args.ba_iterations))
         stage_t["sfm_s"] = round(time.time() - t2, 1)
+        stage_rss["sfm_rss_gb"] = round(peak_rss_gb(), 2)
         scene = load_npz(os.path.join(tri, "scene.npz"))
 
     pm = np.asarray(scene.poses.mask)
@@ -126,6 +129,8 @@ def main():
         **stage_t,
         "total_s": round(time.time() - t0, 1),
         "peak_rss_gb": round(peak_rss_gb(), 2),
+        **stage_rss,
+        "sfm_profile": tstats.get("profile"),
         "backend": jax.default_backend(),
         "gates": gates,
         "ok": all(gates.values()),

@@ -406,13 +406,52 @@ class BAStats(NamedTuple):
     final_lambda: float
 
 
+def _trace_key_opts(opts: BAOptions) -> BAOptions:
+    """Normalize host-loop-only fields so BA calls that differ only in
+    outer-loop policy (max_iterations, lambda schedule, refine switch —
+    all consumed on host) share one compiled trial program."""
+    return dataclasses.replace(
+        opts, max_iterations=0, init_lambda=0.0, lambda_up=0.0,
+        lambda_down=0.0, min_lambda=0.0, max_lambda=0.0, ftol=0.0,
+        refine_intrinsics=False)
+
+
+def _full_cost(st: BAState, obs: BAObservations, opts: BAOptions,
+               center_prior):
+    c = compute_cost(st, obs, opts)
+    if center_prior is not None and opts.center_prior_weight > 0:
+        c = c + opts.center_prior_weight * jnp.sum(
+            (st.C - center_prior) ** 2)
+    return c
+
+
+# Module-level jits: traced ONCE per shape-set for the whole process.
+# (A per-call ``jax.jit`` closure gets a fresh cache every bundle_adjust
+# invocation — at 200+ incremental-SfM BA rounds that is hundreds of
+# seconds of pure retrace/recompile.)
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _cost_jit(state, obs, opts, center_prior):
+    return _full_cost(state, obs, opts, center_prior)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _trial_jit(state, lam, obs, opts, fixed_pose_mask, intr_mask,
+               center_prior, layout):
+    new_state = lm_trial(state, lam, obs, opts, fixed_pose_mask,
+                         intr_mask, center_prior, layout=layout)
+    return new_state, _full_cost(new_state, obs, opts, center_prior)
+
+
 def bundle_adjust(state: BAState, obs: BAObservations,
                   opts: BAOptions = BAOptions(),
                   fixed_pose_mask: Optional[jnp.ndarray] = None,
-                  center_prior: Optional[jnp.ndarray] = None):
+                  center_prior: Optional[jnp.ndarray] = None,
+                  layout: Optional["BALayout"] = None):
     """Run LM to convergence. Host outer loop, jitted inner steps.
 
-    Returns (state, BAStats)."""
+    ``layout``: optional precomputed gather layout (it depends only on the
+    observation index tables, so incremental SfM builds it once and reuses
+    it across every BA round). Returns (state, BAStats)."""
     V = state.R.shape[0]
     if fixed_pose_mask is None:
         fixed_pose_mask = jnp.zeros((V,), bool)
@@ -423,29 +462,18 @@ def bundle_adjust(state: BAState, obs: BAObservations,
     intr_mask = _intr_dof_mask(intr_models, opts.refine_intrinsics,
                                state.X.dtype)
 
-    def full_cost(st, o):
-        c = compute_cost(st, o, opts)
-        if center_prior is not None and opts.center_prior_weight > 0:
-            c = c + opts.center_prior_weight * jnp.sum(
-                (st.C - center_prior) ** 2)
-        return c
+    if layout is None:
+        layout = make_layout(obs, V, state.X.shape[0], K)
+    key_opts = _trace_key_opts(opts)
 
-    cost_fn = jax.jit(full_cost)
-
-    layout = make_layout(obs, V, state.X.shape[0], K)
-
-    @jax.jit
-    def trial(state, lam):
-        new_state = lm_trial(state, lam, obs, opts, fixed_pose_mask,
-                             intr_mask, center_prior, layout=layout)
-        return new_state, cost_fn(new_state, obs)
-
-    cost = float(cost_fn(state, obs))
+    cost = float(_cost_jit(state, obs, key_opts, center_prior))
     initial = cost
     lam = opts.init_lambda
     it = 0
     for it in range(1, opts.max_iterations + 1):
-        new_state, new_cost = trial(state, lam)
+        new_state, new_cost = _trial_jit(state, lam, obs, key_opts,
+                                         fixed_pose_mask, intr_mask,
+                                         center_prior, layout)
         new_cost = float(new_cost)
         if jnp.isfinite(new_cost) and new_cost < cost:
             rel = (cost - new_cost) / max(cost, 1e-30)

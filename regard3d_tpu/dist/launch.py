@@ -99,7 +99,12 @@ def launch_local(num_processes: int, argv: List[str],
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             " --xla_force_host_platform_device_count="
                             f"{devices_per_process}").strip()
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+        # machine-scoped cache dir: XLA:CPU caches AOT executables for the
+        # compiling host's CPU flags; a cache written by a different
+        # machine segfaults on load (see runtime._machine_tag)
+        from regard3d_tpu.runtime import _machine_tag
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       f"/tmp/jaxcache_{_machine_tag()}")
         cmd = ([sys.executable, "-m", module] if module
                else [sys.executable]) + list(argv)
         if pid == 0 or log_dir is None:

@@ -104,13 +104,15 @@ def _window_max(r, radius: int):
 
 
 def _row_max(r, lo: int, hi: int):
-    """Horizontal running max over dx in [lo, hi] (inclusive). r: (B,H,W)."""
+    """Horizontal running max over dx in [lo, hi] (inclusive). r: (B,H,W):
+    out[x] = max_{d in [lo,hi]} r[x+d] (reduce_window padding (-lo, hi)
+    places the window so offset 0 is the element itself)."""
     if lo > hi:
         return jnp.full_like(r, -jnp.inf)
     k = hi - lo + 1
     return jax.lax.reduce_window(
         r, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1),
-        [(0, 0), (0, 0), (hi, -lo)])
+        [(0, 0), (0, 0), (-lo, hi)])
 
 
 def _shift_rows(r, dy: int):
@@ -124,28 +126,18 @@ def _shift_rows(r, dy: int):
     return jnp.concatenate([pad, r[:, :dy]], axis=1)
 
 
-def _circular_max(r, radius: float, causal: bool = False):
+def _circular_max(r, radius: float):
     """Max over a CIRCULAR disc of offsets (dy,dx), dy^2+dx^2 <= radius^2 —
     the reference's suppression footprint is the euclidean ball
-    ``dist <= point.size^2`` (AKAZE.cpp:308-312), not a square window.
-
-    ``causal=True`` restricts to offsets scanned EARLIER in the reference's
-    row-major keypoint loop (dy<0, or dy==0 and dx<0): the same-class duel
-    is only ever fought against points already in ``kpts_aux``
-    (AKAZE.cpp:304-323), so later-scanned rivals cannot suppress."""
+    ``dist <= point.size^2`` (AKAZE.cpp:308-312), not a square window."""
     R = int(math.floor(radius))
     out = None
     for dy in range(-R, R + 1):
-        if causal and dy > 0:
-            break
         rem = radius * radius - dy * dy
         if rem < 0:
             continue
         kx = int(math.floor(math.sqrt(rem)))
-        if causal and dy == 0:
-            row = _row_max(r, -kx, -1)
-        else:
-            row = _row_max(r, -kx, kx)
+        row = _row_max(r, -kx, kx)
         row = _shift_rows(row, dy)
         out = row if out is None else jnp.maximum(out, row)
     if out is None:
@@ -170,7 +162,8 @@ def find_extrema(levels: List[ss.Evolution], ldets,
     (AKAZE.cpp:273-385): a candidate at class i is dropped iff
       * an EARLIER-scanned same-class candidate within the circular radius
         beats-or-ties it (pass 1, ties favor the list point, :314-318) —
-        modeled by a causal half-disc window;
+        modeled by the self-inclusive FULL-disc max (the greedy replacement
+        chain converges to the disc max; scan order is not modeled);
       * a class i-1 candidate within radius beats-or-ties it (pass 1; all
         lower-class points precede it in the list);
       * a class i+1 candidate within radius STRICTLY beats it (pass 2,

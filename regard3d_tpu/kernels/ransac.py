@@ -330,7 +330,26 @@ def acransac_resection(key, X, xn, mask, focal_px: float = 1.0,
     ``solver="dlt"`` keeps the 6-point DLT hypotheses. Either way the
     winner gets the Gauss-Newton polish + consensus recount below."""
     max_err = (max_err_px / focal_px) ** 2
+    return _resection_one(key, X, xn, mask, jnp.asarray(max_err, X.dtype),
+                          iters, solver)
 
+
+@functools.partial(jax.jit, static_argnames=("iters", "solver"))
+def acransac_resection_batch(keys, X, xn, mask, max_err,
+                             iters: int = 512,
+                             solver: str = "p3p") -> ResectionResult:
+    """Vmapped resection over a view group: the incremental engine's
+    grouped add-view step (OpenMVG SequentialSfMReconstructionEngine2
+    resects every adequate view of a round in one batch before the next
+    BA). ``max_err``: per-item squared normalized-coordinate bound
+    ((max_err_px/focal)^2) so views with different intrinsics batch
+    together. Shapes: keys (P,2), X (P,N,3), xn (P,N,2), mask (P,N)."""
+    f = lambda k, a, b, m, e: _resection_one(k, a, b, m, e, iters, solver)
+    return jax.vmap(f)(keys, X, xn, mask, max_err)
+
+
+def _resection_one(key, X, xn, mask, max_err, iters: int,
+                   solver: str) -> ResectionResult:
     if solver == "p3p":
         idx = _draw_samples(key, mask, iters, 3)
         Rp, Cp, okp = geometry.p3p_grunert(X[idx], xn[idx])

@@ -312,12 +312,17 @@ def geometric_filter(kps, putative: Dict[Tuple[int, int], np.ndarray],
             # per-PAIR keys derived from the pair identity, not the block
             # position: results are invariant to block composition, so a
             # pair list sharded across N processes (r3d launch) filters
-            # bit-identically to the single-process run
-            pair_ids = np.zeros((block,), np.uint32)
+            # bit-identically to the single-process run.  Two chained
+            # fold_ins (i, then j) — collision-free at any view count,
+            # unlike a single 32-bit affine hash
+            pair_i = np.zeros((block,), np.uint32)
+            pair_j = np.zeros((block,), np.uint32)
             for bi, ((i, j), _m) in enumerate(group):
-                pair_ids[bi] = np.uint32(i * 1000003 + j)
+                pair_i[bi] = i
+                pair_j[bi] = j
             base = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-                key, jnp.asarray(pair_ids))
+                key, jnp.asarray(pair_i))
+            base = jax.vmap(jax.random.fold_in)(base, jnp.asarray(pair_j))
             kf = jax.vmap(lambda k: jax.random.fold_in(k, 0))(base)
             ke = jax.vmap(lambda k: jax.random.fold_in(k, 1))(base)
             kh = jax.vmap(lambda k: jax.random.fold_in(k, 2))(base)
@@ -466,24 +471,39 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
         from regard3d_tpu.dist import mesh as mesh_mod
         mesh = mesh_mod.make_mesh("pairs", devices=jax.local_devices())
     sizes0 = np.asarray([[im.shape[1], im.shape[0]] for im in images])
-    feat_marker = os.path.join(out_dir, ".features_done")
     if proc_id == 0 and proc_count > 1:
         # clear stale sync markers from a previous run of this step dir
         for fn in os.listdir(out_dir):
-            if fn == ".features_done" or (fn.startswith(".part")
-                                          and fn.endswith(".done")):
+            if (fn.startswith((".part", ".feat")) and fn.endswith(".done")):
                 os.remove(os.path.join(out_dir, fn))
-    if proc_id == 0:
+        _write_marker(os.path.join(out_dir, ".stage_ready"))
+    if proc_count == 1:
         write_stage_sfm_data(out_dir, sizes0, focals, image_names)
         counts = feat_mod.extract_features(images, out_dir, threshold,
                                            max_keypoints, force=force,
                                            detector=detector,
                                            progress=progress)
-        if proc_count > 1:
-            _write_marker(feat_marker)
     else:
-        _wait_for_marker(feat_marker)
-        counts = None
+        # P1 cross-PROCESS image sharding (the reference's nCPU+1 worker
+        # pool over images, src/threads/R3DFeaturesThread.cpp:58-77, lifted
+        # to processes): every process extracts its round-robin image
+        # shard into the shared cache dir, then a marker-file barrier.
+        # Detection is deterministic per image, so the resulting
+        # .feat/.desc files are byte-identical to a single-process run
+        # (tests/test_multihost.py feature-equivalence gate).
+        if proc_id == 0:
+            write_stage_sfm_data(out_dir, sizes0, focals, image_names)
+        else:
+            _wait_for_marker(os.path.join(out_dir, ".stage_ready"))
+        my_imgs = list(range(proc_id, len(images), proc_count))
+        feat_mod.extract_features(images, out_dir, threshold,
+                                  max_keypoints, force=force,
+                                  detector=detector,
+                                  progress=progress, subset=my_imgs)
+        _write_marker(os.path.join(out_dir, f".feat{proc_id}.done"))
+        for p in range(proc_count):
+            _wait_for_marker(os.path.join(out_dir, f".feat{p}.done"))
+        counts = feat_mod.load_counts(out_dir, len(images))
     kps, descs = feat_mod.load_all_padded(out_dir, len(images), pad_to=256)
     my_pairs = pairs
     if proc_count > 1:

@@ -144,20 +144,36 @@ def has_features(out_dir: str, index: int) -> bool:
             and os.path.exists(desc_path(out_dir, index)))
 
 
+def load_counts(out_dir: str, num_images: int) -> List[int]:
+    """Keypoint counts from the .desc headers (cheap, no payload read)."""
+    out = []
+    for i in range(num_images):
+        with open(desc_path(out_dir, i), "rb") as f:
+            out.append(int(struct.unpack("<Q", f.read(8))[0]))
+    return out
+
+
 def extract_features(images: Sequence[np.ndarray], out_dir: str,
                      threshold: float = 0.0007,
                      max_keypoints: int = 4096,
                      kp_size_factor: Optional[float] = None,
                      force: bool = False,
                      detector: str = "fast-akaze",
-                     progress=None, mesh=None) -> List[int]:
+                     progress=None, mesh=None,
+                     subset: Optional[Sequence[int]] = None) -> List[int]:
     """Detect + describe every image; write artifacts; return keypoint
     counts. Cached images are skipped (resume semantics).
 
     With several devices visible, image buckets shard their batch dimension
     over an ``images`` mesh axis (P1 image-batch data parallelism,
     SURVEY.md §2.3 — the TPU replacement for the reference's nCPU+1 worker
-    pool, src/threads/R3DFeaturesThread.cpp:58-77)."""
+    pool, src/threads/R3DFeaturesThread.cpp:58-77).
+
+    ``subset``: only these image indices are processed/counted (the
+    cross-process image shard of ``r3d launch``; counts for other images
+    are 0 — merge with ``load_counts`` after the barrier).  Detection is
+    deterministic per image (batch composition never changes a result), so
+    any shard partition writes byte-identical artifacts."""
     os.makedirs(out_dir, exist_ok=True)
     detector = canonical_detector(detector)
     if kp_size_factor is None:
@@ -168,8 +184,8 @@ def extract_features(images: Sequence[np.ndarray], out_dir: str,
         # process runs shard work at the pipeline layer instead)
         from regard3d_tpu.dist import mesh as mesh_mod
         mesh = mesh_mod.make_mesh("images", devices=jax.local_devices())
-    todo = [i for i in range(len(images))
-            if force or not has_features(out_dir, i)]
+    my_images = (range(len(images)) if subset is None else subset)
+    todo = [i for i in my_images if force or not has_features(out_dir, i)]
     counts = [0] * len(images)
 
     cfg = ScaleSpaceConfig(dthreshold=threshold)
@@ -268,9 +284,9 @@ def extract_features(images: Sequence[np.ndarray], out_dir: str,
                 if progress:
                     progress(done, len(todo))
 
-    for i in range(len(images)):
-        xy, _, _, _ = load_features(out_dir, i)
-        counts[i] = len(xy)
+    for i in my_images:
+        with open(desc_path(out_dir, i), "rb") as f:
+            counts[i] = int(struct.unpack("<Q", f.read(8))[0])
     return counts
 
 
@@ -278,10 +294,15 @@ def load_all_padded(out_dir: str, num_images: int, pad_to: int = 0,
                     padded_dim: int = liop.PADDED_DIM):
     """Regions_Provider equivalent: load every image's features into padded
     device arrays. Returns (Keypoints, Descriptors) with batch=num_images."""
-    data = [load_features(out_dir, i) for i in range(num_images)]
-    n_max = max((len(d[0]) for d in data), default=1)
+    # two passes so per-image features are never all resident at once:
+    # counts first (cheap .desc header reads), then stream each image
+    # straight into the padded arrays (host RSS = padded arrays only)
+    counts = np.zeros(num_images, np.int64)
+    for i in range(num_images):
+        with open(desc_path(out_dir, i), "rb") as f:
+            counts[i] = struct.unpack("<Q", f.read(8))[0]
+    n_max = max(int(counts.max()) if num_images else 1, 1)
     if pad_to:
-        n_max = max(n_max, 1)
         n_max = ((n_max + pad_to - 1) // pad_to) * pad_to
     B = num_images
     xy = np.zeros((B, n_max, 2), np.float32)
@@ -289,7 +310,8 @@ def load_all_padded(out_dir: str, num_images: int, pad_to: int = 0,
     angle = np.zeros((B, n_max), np.float32)
     desc = np.zeros((B, n_max, padded_dim), np.float32)
     mask = np.zeros((B, n_max), bool)
-    for i, (p, s, a, d) in enumerate(data):
+    for i in range(num_images):
+        p, s, a, d = load_features(out_dir, i)
         n = len(p)
         xy[i, :n] = p
         scale[i, :n] = s

@@ -63,10 +63,14 @@ def build_sfm_inputs(matches_dir: str, num_images: int,
         os.path.join(matches_dir, f"matches.{matches_kind}.txt"))
     table = tracks_mod.build_tracks(matches)
     xy = np.zeros((len(table.track_id), 2), dtype)
-    feats = [feat_mod.load_features(matches_dir, i)[0]
-             for i in range(num_images)]
-    for o in range(len(table.track_id)):
-        xy[o] = feats[table.view_id[o]][table.feature_id[o]]
+    vid = np.asarray(table.view_id)
+    fid = np.asarray(table.feature_id)
+    order = np.argsort(vid, kind="stable")
+    starts = np.searchsorted(vid[order], np.arange(num_images + 1))
+    for v in range(num_images):
+        rows = order[starts[v]:starts[v + 1]]
+        if len(rows):
+            xy[rows] = feat_mod.load_features(matches_dir, v)[0][fid[rows]]
     return incremental.SfMInputs(
         xy=jnp.asarray(xy, dtype),
         track_id=jnp.asarray(table.track_id),
@@ -128,19 +132,28 @@ def colorize_tracks(inputs, result, images: Sequence[np.ndarray]
     tid = np.asarray(inputs.track_id)
     vid = np.asarray(inputs.view_id)
     xy = np.asarray(inputs.xy)
-    seen = np.zeros(T, bool)
+    # first observation of each live track (vectorized: stable sort by
+    # track id, unique picks the first row per track)
     order = np.argsort(tid, kind="stable")
-    for o in order:
-        t = tid[o]
-        if seen[t] or not result.track_ok[t]:
+    uniq, first = np.unique(tid[order], return_index=True)
+    rows = order[first]
+    live = np.asarray(result.track_ok)[uniq]
+    uniq, rows = uniq[live], rows[live]
+    # group those first-obs rows by view so each image is touched once
+    vorder = np.argsort(vid[rows], kind="stable")
+    uniq, rows = uniq[vorder], rows[vorder]
+    bounds = np.searchsorted(vid[rows], np.arange(len(images) + 1))
+    for v in range(len(images)):
+        sel = slice(bounds[v], bounds[v + 1])
+        if sel.start == sel.stop:
             continue
-        v = vid[o]
-        img = images[v]
-        x = int(np.clip(round(xy[o, 0]), 0, img.shape[1] - 1))
-        y = int(np.clip(round(xy[o, 1]), 0, img.shape[0] - 1))
+        img = np.asarray(images[v])
+        x = np.clip(np.rint(xy[rows[sel], 0]), 0,
+                    img.shape[1] - 1).astype(np.int64)
+        y = np.clip(np.rint(xy[rows[sel], 1]), 0,
+                    img.shape[0] - 1).astype(np.int64)
         c = img[y, x]
-        colors[t] = c if np.ndim(c) else (c, c, c)
-        seen[t] = True
+        colors[uniq[sel]] = c[:, None] if c.ndim == 1 else c[:, :3]
     return colors
 
 
@@ -229,9 +242,11 @@ def run_triangulation(matches_dir: str, out_dir: str,
     V = len(images)
     n_obs = np.bincount(vlive, minlength=V)
     sums = np.bincount(vlive, weights=r, minlength=V)
+    _vorder = np.argsort(vlive, kind="stable")
+    _vbounds = np.searchsorted(vlive[_vorder], np.arange(V + 1))
     views_rows = []
     for v in range(V):
-        rv = r[vlive == v]
+        rv = r[_vorder[_vbounds[v]:_vbounds[v + 1]]]
         views_rows.append({
             "id": v,
             "name": image_names[v] if image_names else "",

@@ -20,6 +20,7 @@ Schur-LM BA).  The scene state lives in flat arrays the whole time.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -50,6 +51,12 @@ class IncrementalConfig:
     min_initial_inliers: int = 50
     initializer: str = "maxpair"       # "maxpair" | "stellar" (v2 menu,
                                        # src/res/Regard3dMainFrameBase.fbp:9712)
+    resection_group: int = 16          # max views resected per batched round
+                                       # (SequentialSfMReconstructionEngine2
+                                       # resects every adequate view of a
+                                       # round before the next BA)
+    resection_group_frac: float = 0.75  # group admits views with >= frac of
+                                        # the best candidate's visible count
 
 
 class SfMInputs(NamedTuple):
@@ -452,6 +459,7 @@ def run_incremental(inputs: SfMInputs,
                                   np.asarray(inputs.feature_id), T)
 
     # --- initialization: stellar pod or initial pair ----------------------
+    t_init0 = time.perf_counter()
     xn = np.asarray(_normalized_xy(inputs, intr))
     pod_size = 0
     if initial_pair is None and cfg.initializer == "stellar":
@@ -520,6 +528,8 @@ def run_incremental(inputs: SfMInputs,
         obs_active[oi[~inl]] = False
         obs_active[oj[~inl]] = False
 
+    _init_elapsed = time.perf_counter() - t_init0
+
     # jitted helpers -------------------------------------------------------
     tid = jnp.asarray(inputs.track_id)
     vid = jnp.asarray(inputs.view_id)
@@ -539,12 +549,20 @@ def run_incremental(inputs: SfMInputs,
         return reprojection_residuals_px(R, C, intr, inputs.models, iid[vid],
                                          vid, tid, X, inputs.xy)
 
+    # stage-internal profile (VERDICT r4 item 2: committed breakdown of
+    # where incremental-SfM wall-clock goes)
+    prof = {"resection_s": 0.0, "triangulation_s": 0.0, "ba_s": 0.0,
+            "outlier_s": 0.0, "host_s": 0.0, "init_s": _init_elapsed,
+            "resection_rounds": 0, "ba_rounds": 0, "ba_iters": 0}
+
     def retriangulate():
         nonlocal X, track_ok
+        t0 = time.perf_counter()
         tri = triangulate_all(R, C, jnp.asarray(pose_mask),
                               jnp.asarray(obs_active), intr)
         X = tri.X
         track_ok = np.array(tri.ok)      # writable: patched per-view below
+        prof["triangulation_s"] += time.perf_counter() - t0
 
     # --- incremental (touched-tracks-only) retriangulation -----------------
     # adding one view only changes the normal equations of the tracks it
@@ -572,6 +590,7 @@ def run_incremental(inputs: SfMInputs,
     def retriangulate_tracks(track_ids):
         """Re-solve only the given tracks; scatter X / track_ok back."""
         nonlocal X, track_ok
+        t0 = time.perf_counter()
         t = np.unique(np.asarray(track_ids))
         if len(t) == 0:
             return
@@ -596,42 +615,68 @@ def run_incremental(inputs: SfMInputs,
                                   jnp.asarray(stid_p), t_cap)
         X = X.at[jnp.asarray(t)].set(tri.X[:len(t)])
         track_ok[t] = np.asarray(tri.ok)[:len(t)]
+        prof["triangulation_s"] += time.perf_counter() - t0
 
     retriangulate()
 
+    ba_layout_cache = []     # computed once: index tables never change
+
     def run_ba(iterations, refine):
         nonlocal R, C, X, intr
+        t0 = time.perf_counter()
         w = (obs_active & track_ok[np.asarray(tid)]
              & pose_mask[np.asarray(vid)])
         obs_ba = lm.BAObservations(
             view_id=vid, intr_id=iid[vid], point_id=tid,
             model=inputs.models[iid[vid]], xy=inputs.xy,
             weight=jnp.asarray(w, dtype))
+        if not ba_layout_cache:
+            ba_layout_cache.append(lm.make_layout(
+                obs_ba, V, T, int(inputs.intr.shape[0])))
         fixed = jnp.asarray(~pose_mask | (np.arange(V) == i0))
         state = lm.BAState(R=R, C=C, intr=intr, X=X)
         opts = lm.BAOptions(max_iterations=iterations,
                             refine_intrinsics=refine,
                             huber_delta_px=cfg.huber_delta_px)
         out, stats = lm.bundle_adjust(state, obs_ba, opts,
-                                      fixed_pose_mask=fixed)
+                                      fixed_pose_mask=fixed,
+                                      layout=ba_layout_cache[0])
         R, C, intr, X = out.R, out.C, out.intr, out.X
+        jax.block_until_ready(C)
+        prof["ba_s"] += time.perf_counter() - t0
+        prof["ba_rounds"] += 1
+        prof["ba_iters"] += stats.iterations
         return stats
 
     def reject_outliers():
         nonlocal obs_active
+        t0 = time.perf_counter()
         r2 = np.asarray(residuals_px(R, C, X, intr))
         live = (obs_active & track_ok[np.asarray(tid)]
                 & pose_mask[np.asarray(vid)])
         bad = live & (r2 > cfg.max_err_px ** 2)
         obs_active &= ~bad
+        prof["outlier_s"] += time.perf_counter() - t0
         return int(bad.sum())
 
     run_ba(cfg.ba_iterations, False)
     retriangulate()
 
     # --- grow -------------------------------------------------------------
+    # Views are added in batched GROUPS: every candidate whose visible-track
+    # count is within resection_group_frac of the best one is resected in a
+    # single vmapped ACRANSAC dispatch, then the union of touched tracks is
+    # retriangulated once.  This matches the reference v2 engine's
+    # ResectionGroup behaviour (SequentialSfMReconstructionEngine2 resects
+    # all adequate views of a round before the next BA) and cuts the number
+    # of device round-trips from O(V) to O(V / group).
     vid_np = np.asarray(inputs.view_id)
     tid_np = np.asarray(inputs.track_id)
+    # CSR rows-of-view index (host): avoids an O(O) np.where per candidate
+    _order_v = np.argsort(vid_np, kind="stable")
+    _v_starts = np.searchsorted(vid_np[_order_v], np.arange(V + 1))
+    rows_of_view = lambda v: _order_v[_v_starts[v]:_v_starts[v + 1]]
+
     added_since_ba = 0
     order_added = [int(v) for v in np.nonzero(pose_mask)[0]]
     failed_at: Dict[int, int] = {}     # view -> score when resection failed
@@ -639,6 +684,7 @@ def run_incremental(inputs: SfMInputs,
         # candidate views scored by #visible triangulated tracks (one
         # bincount pass); a view that failed resection is retried only
         # once its score grows 20%
+        t_host = time.perf_counter()
         vis_rows = obs_active & track_ok[tid_np]
         scores = np.bincount(vid_np[vis_rows], minlength=V)
         cand_scores = {}
@@ -651,45 +697,86 @@ def run_incremental(inputs: SfMInputs,
             cand_scores[int(v)] = vis
         if not cand_scores:
             break
-        v = max(cand_scores, key=cand_scores.get)
+        best_score = max(cand_scores.values())
+        thresh = max(cfg.min_resection_points,
+                     int(cfg.resection_group_frac * best_score))
+        group = sorted((v for v, s in cand_scores.items() if s >= thresh),
+                       key=lambda v: -cand_scores[v])
+        group = group[:max(1, cfg.resection_group)]
 
-        rows = np.where((vid_np == v) & obs_active)[0]
-        rows = rows[track_ok[tid_np[rows]]]
-        n = len(rows)
-        cap = max(64, 1 << int(np.ceil(np.log2(n))))
-        pad = cap - n
-        Xv = jnp.asarray(np.pad(np.asarray(X)[tid_np[rows]],
-                                ((0, pad), (0, 0))))
-        xv = jnp.asarray(np.pad(xn[rows], ((0, pad), (0, 0))))
-        maskv = jnp.asarray(np.arange(cap) < n)
+        # build the padded batch (P_cap, cap): both dims bucketed to powers
+        # of two so compiled programs are reused as the scene grows
+        g_rows = []
+        for v in group:
+            rows = rows_of_view(v)
+            rows = rows[obs_active[rows]]
+            rows = rows[track_ok[tid_np[rows]]]
+            g_rows.append(rows)
+        n_max = max(len(r) for r in g_rows)
+        cap = max(64, 1 << int(np.ceil(np.log2(max(n_max, 1)))))
+        P = len(group)
+        P_cap = 1 << int(np.ceil(np.log2(P)))
+        Xh = np.asarray(X)
+        Xv = np.zeros((P_cap, cap, 3), Xh.dtype)
+        xv = np.zeros((P_cap, cap, 2), xn.dtype)
+        maskv = np.zeros((P_cap, cap), bool)
+        max_err = np.full((P_cap,), 1.0, np.float32)
+        for bi, (v, rows) in enumerate(zip(group, g_rows)):
+            n = len(rows)
+            Xv[bi, :n] = Xh[tid_np[rows]]
+            xv[bi, :n] = xn[rows]
+            maskv[bi, :n] = True
+            f = float(np.asarray(intr)[inputs.intr_id[v], 0])
+            max_err[bi] = (cfg.max_err_px / f) ** 2
         key, k2 = jax.random.split(key)
-        f = float(intr[inputs.intr_id[v], 0])
-        rr = ransac.acransac_resection(k2, Xv, xv, maskv, focal_px=f,
-                                       iters=cfg.resection_iters,
-                                       max_err_px=cfg.max_err_px)
-        if not bool(rr.valid):
-            failed_at[v] = cand_scores[v]
-            continue
-        failed_at.pop(v, None)
-        R = R.at[v].set(rr.R)
-        C = C.at[v].set(rr.C)
-        pose_mask[v] = True
-        order_added.append(v)
-        # deactivate resection outliers
-        out_rows = rows[~np.asarray(rr.inliers)[:n]]
-        obs_active[out_rows] = False
+        keys = jax.random.split(k2, P_cap)
+        prof["host_s"] += time.perf_counter() - t_host
 
-        # only the tracks seen by the new view changed (including ones the
-        # extra ray may now make triangulable)
-        retriangulate_tracks(tid_np[vid_np == v])
-        added_since_ba += 1
+        t_res = time.perf_counter()
+        rr = ransac.acransac_resection_batch(
+            keys, jnp.asarray(Xv), jnp.asarray(xv), jnp.asarray(maskv),
+            jnp.asarray(max_err, Xh.dtype), iters=cfg.resection_iters)
+        valid = np.asarray(rr.valid)
+        inl_all = np.asarray(rr.inliers)
+        prof["resection_s"] += time.perf_counter() - t_res
+        prof["resection_rounds"] += 1
+
+        t_host = time.perf_counter()
+        accepted = [bi for bi in range(P) if valid[bi]]
+        for bi in range(P):
+            v = group[bi]
+            if valid[bi]:
+                failed_at.pop(v, None)
+            else:
+                failed_at[v] = cand_scores[v]
+        if accepted:
+            acc_views = np.asarray([group[bi] for bi in accepted], np.int32)
+            acc_idx = jnp.asarray(np.asarray(accepted, np.int32))
+            R = R.at[jnp.asarray(acc_views)].set(rr.R[acc_idx])
+            C = C.at[jnp.asarray(acc_views)].set(rr.C[acc_idx])
+            pose_mask[acc_views] = True
+            order_added.extend(int(v) for v in acc_views)
+            touched = []
+            for bi in accepted:
+                rows = g_rows[bi]
+                out_rows = rows[~inl_all[bi, :len(rows)]]
+                obs_active[out_rows] = False
+                # every track seen by the new view changed (including ones
+                # the extra ray may now make triangulable)
+                touched.append(tid_np[rows_of_view(group[bi])])
+            prof["host_s"] += time.perf_counter() - t_host
+            retriangulate_tracks(np.concatenate(touched))
+            added_since_ba += len(accepted)
+        else:
+            prof["host_s"] += time.perf_counter() - t_host
         if added_since_ba >= cfg.ba_every:
             run_ba(cfg.ba_iterations, False)
             reject_outliers()
             retriangulate()
             added_since_ba = 0
-        if verbose:
-            print(f"added view {v}: {int(track_ok.sum())} tracks, "
+        if verbose and accepted:
+            print(f"added {len(accepted)} views (group {P}): "
+                  f"{int(track_ok.sum())} tracks, "
                   f"{int(pose_mask.sum())}/{V} cams")
 
     # --- final polish -----------------------------------------------------
@@ -747,6 +834,8 @@ def run_incremental(inputs: SfMInputs,
         "residual_mean": float(resid.mean()),
         "residual_median": float(np.median(resid)),
         "order_added": order_added,
+        "profile": {k: (round(v, 2) if isinstance(v, float) else v)
+                    for k, v in prof.items()},
     }
     if pod_size:
         stats["stellar_pod_size"] = pod_size

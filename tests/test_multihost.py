@@ -186,3 +186,17 @@ def test_two_process_matches_equals_single(tmp_path):
     # the merged artifacts exist and the shard parts were written
     assert os.path.exists(os.path.join(md2, "matches.putative.txt"))
     assert os.path.exists(os.path.join(md2, "matches.f.part1.txt"))
+
+    # P1 cross-process feature sharding: each process extracted a
+    # round-robin image shard, and the resulting per-image artifacts are
+    # byte-identical to the single-process run's (determinism contract;
+    # src/threads/R3DFeaturesThread.cpp:58-77 parity)
+    md1 = find_matches(p1)
+    for i in range(len(paths)):
+        for ext in ("feat", "desc"):
+            fn = f"image{i:06d}.{ext}"
+            with open(os.path.join(md1, fn), "rb") as fh:
+                b1 = fh.read()
+            with open(os.path.join(md2, fn), "rb") as fh:
+                b2 = fh.read()
+            assert b1 == b2, f"{fn} differs between N=1 and N=2"
