@@ -64,6 +64,57 @@ def build_problem(n_cams, n_pts, obs_per_pt, seed=0):
     return state, obs
 
 
+def run_cpp_baseline(args):
+    """Dump the identical problem in the lm_baseline binary format, build
+    the baseline if needed (g++ -O3 -march=native -fopenmp), run it."""
+    import os
+    import struct
+    import subprocess
+    import tempfile
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # problem gen only
+    state, obs = build_problem(args.cams, args.pts, args.obs_per_pt)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    exe = os.path.join(here, "native", "lm_baseline")
+    src = os.path.join(here, "native", "lm_baseline.cpp")
+    if (not os.path.exists(exe)
+            or os.path.getmtime(exe) < os.path.getmtime(src)):
+        subprocess.run(["g++", "-O3", "-march=native", "-fopenmp",
+                        "-std=c++17", src, "-o", exe], check=True)
+
+    O = int(obs.xy.shape[0])
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(struct.pack("<6i", args.cams, args.pts, O, args.cg,
+                            args.iters, args.rounds))
+        f.write(np.asarray(state.R, np.float64).tobytes())
+        f.write(np.asarray(state.C, np.float64).tobytes())
+        f.write(np.asarray(state.intr[0], np.float64).tobytes())
+        f.write(np.asarray(state.X, np.float64).tobytes())
+        f.write(np.asarray(obs.view_id, np.int32).tobytes())
+        f.write(np.asarray(obs.point_id, np.int32).tobytes())
+        f.write(np.asarray(obs.xy, np.float64).tobytes())
+        path = f.name
+    try:
+        out = subprocess.run([exe, path], capture_output=True, text=True,
+                             check=True, timeout=1800)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+    finally:
+        os.unlink(path)
+    assert r["cost1"] < r["cost0"], r       # the trial must descend
+    print(json.dumps({
+        "metric": "ba_lm_iters_per_s_cpp_baseline",
+        "value": r["iters_per_s"],
+        "unit": (f"compiled C++ Schur-LM trial steps/s ({args.cams} cams, "
+                 f"{args.pts} pts, {O} obs, CG{args.cg}, double precision, "
+                 f"{r['threads']} OpenMP threads)"),
+        "backend": "cpp",
+        "ms_per_iter": r["ms_per_iter"],
+        "cost0": r["cost0"], "cost1": r["cost1"],
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cams", type=int, default=300)
@@ -85,7 +136,14 @@ def main():
                     help="force the CPU backend (comparable-backend scaling "
                          "points: the 1-dev vs mesh-N curve must share a "
                          "backend to mean anything)")
+    ap.add_argument("--cpp", action="store_true",
+                    help="time the compiled C++ Schur-LM baseline "
+                         "(native/lm_baseline.cpp — the Ceres stand-in of "
+                         "BASELINE.md's BA row) on the identical problem")
     args = ap.parse_args()
+
+    if args.cpp:
+        return run_cpp_baseline(args)
 
     import os
     if args.mesh:

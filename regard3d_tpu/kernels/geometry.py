@@ -394,11 +394,12 @@ def triangulate_2view(R1, C1, R2, C2, b1, b2):
     return solve3x3(A + 1e-12 * jnp.eye(3, dtype=A.dtype), b)
 
 
-def decompose_essential(E, x1, x2):
+def decompose_essential(E, x1, x2, mask=None):
     """Four-way decomposition of E with cheirality voting.
 
-    E: (S, 3, 3); x1, x2: (S, N, 2) normalized camera coords (weights: all
-    points vote). Returns (R (S,3,3), t (S,3), ngood (S,)) — pose of camera 2
+    E: (S, 3, 3); x1, x2: (S, N, 2) normalized camera coords; ``mask``
+    (S, N) optional — only masked points vote (padded batched callers).
+    Returns (R (S,3,3), t (S,3), ngood (S,)) — pose of camera 2
     such that x_cam2 = R @ (X - C2) with C1 = 0, and t = -R C2 (unit norm)."""
     U, _, Vt = svd3x3(E)   # proper rotations by construction (see svd3x3)
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
@@ -422,7 +423,10 @@ def decompose_essential(E, x1, x2):
         z1 = X[..., 2]
         xc2 = jnp.einsum("...ij,...nj->...ni", R, X - C2[..., None, :])
         z2 = xc2[..., 2]
-        return jnp.sum(((z1 > 0) & (z2 > 0)).astype(jnp.int32), -1)
+        good = (z1 > 0) & (z2 > 0)
+        if mask is not None:
+            good = good & mask
+        return jnp.sum(good.astype(jnp.int32), -1)
 
     cands = [(Ra, t), (Ra, -t), (Rb, t), (Rb, -t)]
     counts = jnp.stack([count_good(R, tt) for R, tt in cands], -1)  # (S, 4)

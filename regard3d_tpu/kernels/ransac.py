@@ -113,21 +113,36 @@ def ransac(key, data, mask, fit_fn: Callable, resid_fn: Callable,
     data: pytree of (N, ...) arrays; fit_fn(sampled_pytree (S, s, ...)) ->
     (S, 3, 3) models; resid_fn(models, data) -> (S, N) squared residuals.
 
-    The (iters, N) residual tensor is never materialized: XLA fuses the
-    residual evaluation into the truncated-MSAC score reduction, so the
-    scoring pass is compute-bound on the fit, not HBM-bound."""
+    The hypothesis sweep is CHUNKED with ``lax.scan`` (128 draws per
+    step): the live (chunk*models, N) residual tensor stays bounded
+    regardless of ``iters``, which caps both device memory and the host
+    shadow the axon tunnel keeps for device intermediates.  Chunking is
+    bit-exact vs the flat sweep: the same draws in the same order, ties
+    resolved toward the earlier draw (argmin semantics)."""
     n = mask.shape[0]
-    idx = _draw_samples(key, mask, iters, sample_size)       # (S, s)
-    sampled = jax.tree_util.tree_map(lambda a: a[idx], data)
-    models = fit_fn(sampled)                                 # (S, 3, 3)
-    resid = resid_fn(models, data)                           # (S, N)
-    resid = jnp.where(mask[None, :], resid, _BIG)
+    chunk = min(iters, 128)
+    n_chunks = -(-iters // chunk)
+    iters_eff = n_chunks * chunk                   # == iters for pow-2 iters
+    idx = _draw_samples(key, mask, iters_eff, sample_size)   # (S, s)
+    idx_c = idx.reshape(n_chunks, chunk, sample_size)
 
-    # truncated-MSAC score
-    score = jnp.sum(jnp.minimum(resid, max_err_sq), axis=1)
-    best = jnp.argmin(score)
-    model = models[best]
-    r_best = resid[best]
+    def score_chunk(carry, idx_one):
+        best_score, best_model = carry
+        sampled = jax.tree_util.tree_map(lambda a: a[idx_one], data)
+        models = fit_fn(sampled)                   # (chunk[*m], 3, 3)
+        resid = resid_fn(models, data)             # (chunk[*m], N)
+        resid = jnp.where(mask[None, :], resid, _BIG)
+        score = jnp.sum(jnp.minimum(resid, max_err_sq), axis=1)
+        b = jnp.argmin(score)
+        better = score[b] < best_score             # strict: ties keep earlier
+        return (jnp.where(better, score[b], best_score),
+                jnp.where(better, models[b], best_model)), None
+
+    leaf = jax.tree_util.tree_leaves(data)[0]   # models follow data dtype
+    init = (jnp.asarray(_BIG * n, leaf.dtype),
+            jnp.zeros((3, 3), leaf.dtype))
+    (best_score, model), _ = jax.lax.scan(score_chunk, init, idx_c)
+    r_best = jnp.where(mask, resid_fn(model[None], data)[0], _BIG)
 
     thr_sq, log_nfa, _ = _nfa_threshold(r_best, mask, sample_size,
                                         logalpha0, err_dim, max_err_sq)

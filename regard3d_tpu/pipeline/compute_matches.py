@@ -269,8 +269,12 @@ def geometric_filter(kps, putative: Dict[Tuple[int, int], np.ndarray],
     max_err_f = np.float32(cfg.max_err_px ** 2)
     n_done, n_total = 0, len(items)
     for cap, blist in sorted(buckets.items()):
-        # block size bounded by the (iters, cap) residual-tensor budget
-        block = max(1, min(128, (1 << 26) // max(cfg.ransac_iters * cap, 1)))
+        # block size bounded by the live residual-tensor budget; the
+        # ransac core chunks its hypothesis sweep (lax.scan, 128 draws a
+        # step), so the bound uses the CHUNKED iteration count, keeping
+        # big blocks (few dispatches) at a bounded footprint
+        chunked_iters = min(cfg.ransac_iters, 128)
+        block = max(1, min(128, (1 << 26) // max(chunked_iters * cap, 1)))
         block = ((block + n_dev - 1) // n_dev) * n_dev
         for s0 in range(0, len(blist), block):
             group = blist[s0:s0 + block]

@@ -336,32 +336,104 @@ def _average_translations_spectral(motions: List[RelativeMotion],
 def compute_relative_motions(inputs: inc.SfMInputs,
                              table: tracks_mod.TrackTable,
                              cfg: GlobalConfig, key,
-                             num_views: int) -> List[RelativeMotion]:
+                             num_views: int,
+                             block: int = 16,
+                             attempts: int = 3) -> List[RelativeMotion]:
     """Robust E per co-visible pair -> relative rotation + direction.
 
-    Pairs come from the sparse co-visibility table (no (V, V) matrix), and
-    each pose passes the cheirality acceptance gate of
-    ``incremental._relative_pose`` (a twisted E decomposition would inject
-    an outlier edge into the averaging problems)."""
+    Pairs come from the sparse co-visibility table (no (V, V) matrix).
+    Pairs are estimated in fixed-shape padded BLOCKS — one vmapped
+    ACRANSAC-E dispatch plus one batched cheirality-voting decomposition
+    per block (the serial per-pair loop costs a device round-trip per
+    pair, which dominates at city scale on the TPU tunnel).  A pair whose
+    best E decomposes with <70% cheirality-consistent inliers (a twisted
+    pose that would inject an outlier edge into the averaging problems)
+    is retried with fresh randomness up to ``attempts`` times, then
+    dropped — the same acceptance gate as ``incremental._relative_pose``."""
     pairs, _ = tracks_mod.covisibility_pairs(table, num_views,
                                              min_count=cfg.min_pair_inliers)
     xn = np.asarray(inc._normalized_xy(inputs, inputs.intr))
-    motions = []
+    pcfg = _cfg_for_pairs(cfg)
+    items = []
     for i, j in ((int(a), int(b)) for a, b in pairs):
-        key, k = jax.random.split(key)
-        rel = inc._relative_pose(inputs, xn, i, j, k, _cfg_for_pairs(cfg))
-        if rel is None:
-            continue
-        R_ij, trel, oi, oj, inl = rel
-        if int(inl.sum()) < cfg.min_pair_inliers:
-            continue
-        # C_j in cam-i frame: -R^T t; direction of C_j - C_i in cam-i
-        Cj_i = -R_ij.T @ trel
-        nrm = np.linalg.norm(Cj_i)
-        if nrm < 1e-9:
-            continue
-        motions.append(RelativeMotion(i, j, R_ij, Cj_i / nrm,
-                                      int(inl.sum()), oi[inl], oj[inl]))
+        oi, oj = inc._pair_obs(inputs, i, j)
+        if len(oi) >= 16:
+            items.append((i, j, oi, oj))
+    if not items:
+        return []
+    cap = max(64, 1 << int(np.ceil(np.log2(
+        max(len(g[2]) for g in items)))))
+    intr_np = np.asarray(inputs.intr)
+    iid_np = np.asarray(inputs.intr_id)
+    sizes = np.asarray(inputs.image_sizes)
+
+    motions = []
+    pending = items
+    for attempt in range(attempts):
+        retry = []
+        for s0 in range(0, len(pending), block):
+            grp = pending[s0:s0 + block]
+            P = len(grp)
+            x1 = np.zeros((block, cap, 2), np.float32)
+            x2 = np.zeros((block, cap, 2), np.float32)
+            mask = np.zeros((block, cap), bool)
+            la_e = np.zeros((block,), np.float32)
+            me_e = np.full((block,), 1.0, np.float32)
+            for bi, (i, j, oi, oj) in enumerate(grp):
+                n = len(oi)
+                f = float(intr_np[iid_np[i], 0])
+                x1[bi, :n] = xn[oi]
+                x2[bi, :n] = xn[oj]
+                mask[bi, :n] = True
+                w = float(sizes[i][0]) or 2.0 * f
+                h = float(sizes[i][1]) or 2.0 * f
+                la_e[bi] = np.log10(2.0 * np.hypot(w, h) / (w * h) * f)
+                me_e[bi] = (cfg.max_err_px / f) ** 2
+            # per-pair keys from the pair identity + attempt: results are
+            # independent of block composition
+            base = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                key, jnp.asarray([g[0] for g in grp]
+                                 + [0] * (block - P), dtype=jnp.uint32))
+            base = jax.vmap(jax.random.fold_in)(
+                base, jnp.asarray([g[1] for g in grp]
+                                  + [0] * (block - P), dtype=jnp.uint32))
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, attempt))(base)
+            maskj = jnp.asarray(mask)
+            re = ransac.acransac_e_batch(
+                keys, jnp.asarray(x1), jnp.asarray(x2), maskj,
+                jnp.asarray(la_e), jnp.asarray(me_e),
+                iters=pcfg.ransac_iters)
+            inl_dev = re.inliers & maskj
+            Rb, tb, nval = geometry.decompose_essential(
+                re.model, jnp.asarray(x1), jnp.asarray(x2), mask=inl_dev)
+            e_valid = np.asarray(re.valid)
+            e_num = np.asarray(re.num_inliers)
+            inl_np = np.asarray(inl_dev)
+            Rb_np = np.asarray(Rb)
+            tb_np = np.asarray(tb)
+            frac = np.asarray(nval) / np.maximum(e_num, 1)
+            for bi, (i, j, oi, oj) in enumerate(grp):
+                if not e_valid[bi] or e_num[bi] < cfg.min_pair_inliers:
+                    continue
+                if frac[bi] < 0.7:
+                    retry.append((i, j, oi, oj))
+                    continue
+                R_ij = Rb_np[bi]
+                trel = tb_np[bi]
+                inl = inl_np[bi][:len(oi)]
+                if int(inl.sum()) < cfg.min_pair_inliers:
+                    continue
+                # C_j in cam-i frame: -R^T t; direction of C_j - C_i
+                Cj_i = -R_ij.T @ trel
+                nrm = np.linalg.norm(Cj_i)
+                if nrm < 1e-9:
+                    continue
+                motions.append(RelativeMotion(i, j, R_ij, Cj_i / nrm,
+                                              int(inl.sum()),
+                                              oi[inl], oj[inl]))
+        if not retry:
+            break
+        pending = retry
     return motions
 
 

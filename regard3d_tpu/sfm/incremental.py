@@ -55,7 +55,7 @@ class IncrementalConfig:
                                        # (SequentialSfMReconstructionEngine2
                                        # resects every adequate view of a
                                        # round before the next BA)
-    resection_group_frac: float = 0.75  # group admits views with >= frac of
+    resection_group_frac: float = 0.5   # group admits views with >= frac of
                                         # the best candidate's visible count
 
 
@@ -94,96 +94,168 @@ def _normalized_xy(inputs: SfMInputs, intr) -> jnp.ndarray:
     return b[:, :2] / b[:, 2:]
 
 
-def rank_initial_pairs(inputs: SfMInputs, table: tracks_mod.TrackTable,
-                       key, cfg: IncrementalConfig,
-                       num_views: int, top_k: int = 50,
-                       block: int = 16) -> List[Tuple[int, int]]:
-    """Candidate initial pairs in preference order: most shared tracks
-    first, pairs with enough E-inliers, homography-degenerate (planar /
-    pure-rotation) pairs demoted to the back.
-    ~ SfMSceneInitializerMaxPair + getBestValidatedPairs parity
-    (src/utils/OpenMVGHelper.cpp:273-419 ranks ALL validated pairs).
+def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
+                         key, cfg: IncrementalConfig, num_views: int,
+                         xn: np.ndarray, top_k: int = 50,
+                         attempts: int = 2):
+    """Batched MaxPair initializer: ONE padded E-batch + H-batch dispatch
+    validates the ``top_k`` most covisible candidate pairs, one batched
+    cheirality-voting decomposition scores every surviving E, and the
+    parallax gate picks the first viable pair — replacing the serial
+    per-candidate RANSAC loop (on the TPU tunnel each dispatch costs more
+    than the math).  ~ SfMSceneInitializerMaxPair + getBestValidatedPairs
+    parity (src/utils/OpenMVGHelper.cpp:273-419; parallax gate = OpenMVG
+    initializer's min-angle behaviour).
 
-    The top ``top_k`` covisible candidates are validated in *batched*
-    device dispatches (``acransac_e_batch`` + ``acransac_h_batch`` over
-    padded blocks) instead of a serial per-pair host loop — on ambiguous
-    scenes where the most-covisible pairs are planar/degenerate, viable
-    pairs further down the list are still found."""
+    Returns (i, j, Rrel, trel, oi, oj, inl) or None."""
     cand, counts = tracks_mod.covisibility_pairs(table, num_views,
                                                  min_count=30)
     pairs = [(int(c), int(i), int(j)) for c, (i, j) in zip(counts, cand)]
-    xn = np.asarray(_normalized_xy(inputs, inputs.intr))
-
-    # gather correspondences for the candidate window (host-side indexing)
     items = []
     for cnt, i, j in pairs[:top_k]:
         oi, oj = _pair_obs(inputs, i, j)
         if len(oi) >= 16:
             items.append((i, j, oi, oj))
-    good, planar = [], []
+    if not items:
+        return None
+    P = len(items)
+    cap = max(64, 1 << int(np.ceil(np.log2(
+        max(len(g[2]) for g in items)))))
+    x1 = np.zeros((P, cap, 2), np.float32)
+    x2 = np.zeros((P, cap, 2), np.float32)
+    x1h = np.zeros((P, cap, 2), np.float32)
+    x2h = np.zeros((P, cap, 2), np.float32)
+    mask = np.zeros((P, cap), bool)
+    la_e = np.zeros((P,), np.float32)
+    me_e = np.zeros((P,), np.float32)
+    la_h = np.zeros((P,), np.float32)
+    me_h = np.full((P,), np.float32(cfg.max_err_px ** 2), np.float32)
+    for bi, (i, j, oi, oj) in enumerate(items):
+        n = len(oi)
+        f = float(inputs.intr[inputs.intr_id[i], 0])
+        x1[bi, :n] = xn[oi]
+        x2[bi, :n] = xn[oj]
+        x1h[bi, :n] = xn[oi] * f
+        x2h[bi, :n] = xn[oj] * f
+        mask[bi, :n] = True
+        w = float(inputs.image_sizes[i][0]) or 2.0 * f
+        h = float(inputs.image_sizes[i][1]) or 2.0 * f
+        la_e[bi] = np.log10(2.0 * np.hypot(w, h) / (w * h) * f)
+        me_e[bi] = (cfg.max_err_px / f) ** 2
+        la_h[bi] = ransac._logalpha0_point(2.0 * f, 2.0 * f)
+
     h_ratio_threshold = 0.92
-    for s0 in range(0, len(items), block):
-        grp = items[s0:s0 + block]
-        P = len(grp)
-        cap = max(64, 1 << int(np.ceil(np.log2(
-            max(len(g[2]) for g in grp)))))
-        x1 = np.zeros((P, cap, 2), np.float32)
-        x2 = np.zeros((P, cap, 2), np.float32)
-        x1h = np.zeros((P, cap, 2), np.float32)
-        x2h = np.zeros((P, cap, 2), np.float32)
-        mask = np.zeros((P, cap), bool)
-        la_e = np.zeros((P,), np.float32)
-        me_e = np.zeros((P,), np.float32)
-        la_h = np.zeros((P,), np.float32)
-        me_h = np.full((P,), np.float32(cfg.max_err_px ** 2), np.float32)
-        for bi, (i, j, oi, oj) in enumerate(grp):
-            n = len(oi)
-            f = float(inputs.intr[inputs.intr_id[i], 0])
-            x1[bi, :n] = xn[oi]
-            x2[bi, :n] = xn[oj]
-            x1h[bi, :n] = xn[oi] * f
-            x2h[bi, :n] = xn[oj] * f
-            mask[bi, :n] = True
-            w = float(inputs.image_sizes[i][0]) or 2.0 * f
-            h = float(inputs.image_sizes[i][1]) or 2.0 * f
-            la_e[bi] = np.log10(2.0 * np.hypot(w, h) / (w * h) * f)
-            me_e[bi] = (cfg.max_err_px / f) ** 2
-            la_h[bi] = ransac._logalpha0_point(2.0 * f, 2.0 * f)
-        key, k1, k2 = jax.random.split(key, 3)
-        ke = jax.random.split(k1, P)
-        kh = jax.random.split(k2, P)
-        maskj = jnp.asarray(mask)
-        re = ransac.acransac_e_batch(ke, jnp.asarray(x1), jnp.asarray(x2),
-                                     maskj, jnp.asarray(la_e),
-                                     jnp.asarray(me_e),
-                                     iters=cfg.ransac_iters)
-        rh = ransac.acransac_h_batch(kh, jnp.asarray(x1h),
-                                     jnp.asarray(x2h), maskj,
-                                     jnp.asarray(la_h), jnp.asarray(me_h),
-                                     iters=min(cfg.ransac_iters, 512))
-        e_valid = np.asarray(re.valid)
-        e_num = np.asarray(re.num_inliers)
-        h_valid = np.asarray(rh.valid)
-        h_num = np.asarray(rh.num_inliers)
-        for bi, (i, j, oi, oj) in enumerate(grp):
-            n = len(oi)
-            if not e_valid[bi] or e_num[bi] < cfg.min_initial_inliers:
-                continue
-            if h_valid[bi] and h_num[bi] >= h_ratio_threshold * n:
-                planar.append((i, j))
-            else:
-                good.append((i, j))
-    out = good + planar
-    if not out and pairs:
-        out = [pairs[0][1:]]
-    return out
+    best_low_parallax = None
+    best_any = None
+    # fixed (BLOCK, cap) chunks: candidate blocks are tried in
+    # covisibility order and the first viable pair short-circuits the
+    # rest — one E/H/decompose compile serves every block, and the
+    # per-dispatch footprint stays bounded (the axon tunnel shadows
+    # device intermediates in host RAM)
+    BLOCK = 16
+    for s0 in range(0, P, BLOCK):
+        sl = slice(s0, min(s0 + BLOCK, P))
+        Pb = sl.stop - sl.start
+        pad_to = BLOCK
+        x1b = np.zeros((pad_to, cap, 2), np.float32)
+        x2b = np.zeros((pad_to, cap, 2), np.float32)
+        x1hb = np.zeros((pad_to, cap, 2), np.float32)
+        x2hb = np.zeros((pad_to, cap, 2), np.float32)
+        maskb = np.zeros((pad_to, cap), bool)
+        x1b[:Pb], x2b[:Pb] = x1[sl], x2[sl]
+        x1hb[:Pb], x2hb[:Pb] = x1h[sl], x2h[sl]
+        maskb[:Pb] = mask[sl]
+        lab_e = np.zeros((pad_to,), np.float32)
+        meb_e = np.full((pad_to,), 1.0, np.float32)
+        lab_h = np.zeros((pad_to,), np.float32)
+        meb_h = np.full((pad_to,), np.float32(cfg.max_err_px ** 2),
+                        np.float32)
+        lab_e[:Pb], meb_e[:Pb] = la_e[sl], me_e[sl]
+        lab_h[:Pb] = la_h[sl]
+        x1j, x2j = jnp.asarray(x1b), jnp.asarray(x2b)
+        maskj = jnp.asarray(maskb)
+        h_valid = h_num = None
+        for attempt in range(attempts):
+            key, k1, k2 = jax.random.split(key, 3)
+            ke = jax.random.split(k1, pad_to)
+            re = ransac.acransac_e_batch(ke, x1j, x2j, maskj,
+                                         jnp.asarray(lab_e),
+                                         jnp.asarray(meb_e),
+                                         iters=cfg.ransac_iters)
+            if attempt == 0:
+                kh = jax.random.split(k2, pad_to)
+                rh = ransac.acransac_h_batch(
+                    kh, jnp.asarray(x1hb), jnp.asarray(x2hb), maskj,
+                    jnp.asarray(lab_h), jnp.asarray(meb_h),
+                    iters=min(cfg.ransac_iters, 512))
+                h_valid = np.asarray(rh.valid)
+                h_num = np.asarray(rh.num_inliers)
+            # one batched decomposition for every candidate's best E
+            # model; only inlier correspondences vote cheirality
+            inl_dev = re.inliers & maskj
+            Rb, tb, nval = geometry.decompose_essential(
+                re.model, x1j, x2j, mask=inl_dev)
+            e_valid = np.asarray(re.valid)
+            e_num = np.asarray(re.num_inliers)
+            inl_np = np.asarray(inl_dev)
+            Rb_np, tb_np = np.asarray(Rb), np.asarray(tb)
+            frac = np.asarray(nval) / np.maximum(e_num, 1)
+
+            # rank: covisibility order, planar pairs demoted to the back
+            order = ([bi for bi in range(Pb)
+                      if not (h_valid[bi]
+                              and h_num[bi] >= h_ratio_threshold
+                              * maskb[bi].sum())]
+                     + [bi for bi in range(Pb)
+                        if (h_valid[bi]
+                            and h_num[bi] >= h_ratio_threshold
+                            * maskb[bi].sum())])
+            for bi in order:
+                i, j, oi, oj = items[s0 + bi]
+                if not e_valid[bi] or e_num[bi] < cfg.min_initial_inliers:
+                    continue
+                if frac[bi] < 0.7:
+                    cand_t = (frac[bi], s0 + bi, Rb_np[bi], tb_np[bi],
+                              inl_np[bi][:len(oi)])
+                    if best_any is None or frac[bi] > best_any[0]:
+                        best_any = cand_t
+                    continue
+                inl = inl_np[bi][:len(oi)]
+                # parallax gate (OpenMVG initializer behaviour): a pair
+                # whose median triangulation angle is under min-angle
+                # would triangulate nothing (forward-motion pairs)
+                r1 = np.concatenate([xn[oi[inl]],
+                                     np.ones((int(inl.sum()), 1))], 1)
+                r2 = np.concatenate([xn[oj[inl]],
+                                     np.ones((int(inl.sum()), 1))], 1)
+                r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
+                r2w = r2 @ Rb_np[bi]
+                r2w /= np.linalg.norm(r2w, axis=1, keepdims=True)
+                cosang = np.clip((r1 * r2w).sum(1), -1.0, 1.0)
+                med_deg = float(np.degrees(np.median(np.arccos(cosang))))
+                out = (i, j, Rb_np[bi], tb_np[bi], oi, oj, inl)
+                if med_deg < cfg.min_angle_deg:
+                    if best_low_parallax is None:
+                        best_low_parallax = out
+                    continue
+                return out
+    if best_low_parallax is not None:
+        # everything is low-parallax (e.g. pure forward motion with a
+        # short window): best candidate rather than failing outright
+        return best_low_parallax
+    if best_any is not None:
+        _, bi, Rb_b, tb_b, inl = best_any
+        i, j, oi, oj = items[bi]
+        return (i, j, Rb_b, tb_b, oi, oj, inl)
+    return None
 
 
 def select_initial_pair(inputs: SfMInputs, table: tracks_mod.TrackTable,
                         key, cfg: IncrementalConfig,
                         num_views: int) -> Optional[Tuple[int, int]]:
-    ranked = rank_initial_pairs(inputs, table, key, cfg, num_views)
-    return ranked[0] if ranked else None
+    xn = np.asarray(_normalized_xy(inputs, inputs.intr))
+    sel = _select_initial_pose(inputs, table, key, cfg, num_views, xn)
+    return (sel[0], sel[1]) if sel else None
 
 
 def _relative_pose(inputs: SfMInputs, xn, i: int, j: int, key, cfg,
@@ -476,49 +548,23 @@ def run_incremental(inputs: SfMInputs,
             pod_size = len(poses)
     if pod_size == 0:
         if initial_pair is not None:
-            candidates = [tuple(initial_pair)]
+            # v1: the user's pair — serial robust pose with retries
+            i0, j0 = initial_pair
+            key, k1, k2 = jax.random.split(key, 3)
+            rel = (_relative_pose(inputs, xn, i0, j0, k1, cfg)
+                   or _relative_pose(inputs, xn, i0, j0, k2, cfg,
+                                     attempts=1, min_valid_frac=0.0))
+            if rel is None:
+                raise ValueError(
+                    f"initial pair {initial_pair} has no robust E")
+            Rrel, trel, oi, oj, inl = rel
         else:
-            candidates = rank_initial_pairs(inputs, table, key, cfg, V)
-            if not candidates:
-                raise ValueError("no viable initial pair")
-        rel = None
-        best_low_parallax = None
-        for (ci, cj) in candidates:
             key, k1 = jax.random.split(key)
-            r = _relative_pose(inputs, xn, ci, cj, k1, cfg)
-            if r is None:
-                continue
-            # parallax gate (OpenMVG initializer behaviour): a pair whose
-            # median triangulation angle is under the min-angle threshold
-            # would triangulate nothing (forward-motion adjacent pairs on
-            # sequential captures) — keep looking for a wider baseline
-            Rrel_, trel_, oi_, oj_, inl_ = r
-            r1 = np.concatenate([xn[oi_[inl_]],
-                                 np.ones((int(inl_.sum()), 1))], 1)
-            r2 = np.concatenate([xn[oj_[inl_]],
-                                 np.ones((int(inl_.sum()), 1))], 1)
-            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
-            r2w = r2 @ Rrel_                    # R^T r2, rows
-            r2w /= np.linalg.norm(r2w, axis=1, keepdims=True)
-            cosang = np.clip((r1 * r2w).sum(1), -1.0, 1.0)
-            med_deg = float(np.degrees(np.median(np.arccos(cosang))))
-            if med_deg < cfg.min_angle_deg:
-                if best_low_parallax is None:
-                    best_low_parallax = (ci, cj, r)
-                continue
-            rel = r
-            i0, j0 = ci, cj
-            break
-        if rel is None and best_low_parallax is not None:
-            # everything is low-parallax (e.g. pure forward motion with a
-            # short window): fall back to the best candidate rather than
-            # failing outright
-            i0, j0, rel = best_low_parallax
-        if rel is None:
-            raise ValueError(
-                f"no initial pair with a cheirality-consistent pose "
-                f"(tried {candidates})")
-        Rrel, trel, oi, oj, inl = rel
+            sel = _select_initial_pose(inputs, table, k1, cfg, V, xn)
+            if sel is None:
+                raise ValueError(
+                    "no initial pair with a cheirality-consistent pose")
+            i0, j0, Rrel, trel, oi, oj, inl = sel
 
         R = R.at[j0].set(jnp.asarray(Rrel, dtype))
         C = C.at[j0].set(jnp.asarray(-Rrel.T @ trel, dtype))
@@ -564,59 +610,13 @@ def run_incremental(inputs: SfMInputs,
         track_ok = np.array(tri.ok)      # writable: patched per-view below
         prof["triangulation_s"] += time.perf_counter() - t0
 
-    # --- incremental (touched-tracks-only) retriangulation -----------------
-    # adding one view only changes the normal equations of the tracks it
-    # observes; re-solving just those keeps the per-view cost O(local)
-    # instead of O(scene) (city-scale requirement).  CSR track->obs rows:
-    tid_host = np.asarray(inputs.track_id)
-    vid_host = np.asarray(inputs.view_id)
-    _order_t = np.argsort(tid_host, kind="stable")
-    _t_starts = np.searchsorted(tid_host[_order_t], np.arange(T + 1))
-
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("t_cap",))
-    def _triangulate_subset(R, C, pmask, oactive, intr, rows, rmask,
-                            stid, t_cap):
-        xy = inputs.xy[rows]
-        v = vid[rows]
-        k = iid[v]
-        b = cameras.bearing(inputs.models[k], intr[k], xy)
-        act = oactive[rows] & rmask
-        return triangulate_tracks(R, C, pmask, stid, v, act, b, t_cap,
-                                  cfg.min_angle_deg, cfg.max_err_px,
-                                  mean_focal)
-
-    def retriangulate_tracks(track_ids):
-        """Re-solve only the given tracks; scatter X / track_ok back."""
-        nonlocal X, track_ok
-        t0 = time.perf_counter()
-        t = np.unique(np.asarray(track_ids))
-        if len(t) == 0:
-            return
-        starts = _t_starts[t]
-        lens = _t_starts[t + 1] - starts
-        csum = np.concatenate([[0], np.cumsum(lens)])
-        n_rows = int(csum[-1])
-        rows = _order_t[np.repeat(starts - csum[:-1], lens)
-                        + np.arange(n_rows)]
-        stid = np.searchsorted(t, tid_host[rows])
-        o_cap = max(64, 1 << int(np.ceil(np.log2(max(n_rows, 1)))))
-        t_cap = max(64, 1 << int(np.ceil(np.log2(max(len(t), 1)))))
-        rows_p = np.zeros(o_cap, np.int32)
-        rows_p[:n_rows] = rows
-        stid_p = np.zeros(o_cap, np.int32)
-        stid_p[:n_rows] = stid
-        rmask = np.zeros(o_cap, bool)
-        rmask[:n_rows] = True
-        tri = _triangulate_subset(R, C, jnp.asarray(pose_mask),
-                                  jnp.asarray(obs_active), intr,
-                                  jnp.asarray(rows_p), jnp.asarray(rmask),
-                                  jnp.asarray(stid_p), t_cap)
-        X = X.at[jnp.asarray(t)].set(tri.X[:len(t)])
-        track_ok[t] = np.asarray(tri.ok)[:len(t)]
-        prof["triangulation_s"] += time.perf_counter() - t0
-
+    # NOTE on retriangulation granularity: a touched-tracks-only variant
+    # (earlier rounds) saved device FLOPs but cost one freshly-compiled
+    # program per (o_cap, t_cap) bucket plus extra host<->device hops; on
+    # the TPU the full-scene segment-sum triangulation is ONE cached
+    # program whose per-call device time is microseconds-per-10k-obs, so
+    # full retriangulation after every change is strictly faster at every
+    # scale measured (200-1000 views).
     retriangulate()
 
     ba_layout_cache = []     # computed once: index tables never change
@@ -677,6 +677,15 @@ def run_incremental(inputs: SfMInputs,
     _v_starts = np.searchsorted(vid_np[_order_v], np.arange(V + 1))
     rows_of_view = lambda v: _order_v[_v_starts[v]:_v_starts[v + 1]]
 
+    # FIXED batch geometry for resection: per-view row counts only ever
+    # shrink, so one (P_cap, cap) shape serves every round -> exactly one
+    # compiled resection program per scene (shape churn through the TPU
+    # tunnel costs more than the padded FLOPs)
+    _counts0 = np.bincount(vid_np, minlength=V)
+    cap_res = max(64, 1 << int(np.ceil(np.log2(
+        max(int(_counts0.max()), 1)))))
+    P_cap_res = 1 << int(np.ceil(np.log2(max(cfg.resection_group, 1))))
+
     added_since_ba = 0
     order_added = [int(v) for v in np.nonzero(pose_mask)[0]]
     failed_at: Dict[int, int] = {}     # view -> score when resection failed
@@ -704,19 +713,18 @@ def run_incremental(inputs: SfMInputs,
                        key=lambda v: -cand_scores[v])
         group = group[:max(1, cfg.resection_group)]
 
-        # build the padded batch (P_cap, cap): both dims bucketed to powers
-        # of two so compiled programs are reused as the scene grows
+        # fixed-shape padded batch (see cap_res/P_cap_res above)
         g_rows = []
         for v in group:
             rows = rows_of_view(v)
             rows = rows[obs_active[rows]]
             rows = rows[track_ok[tid_np[rows]]]
             g_rows.append(rows)
-        n_max = max(len(r) for r in g_rows)
-        cap = max(64, 1 << int(np.ceil(np.log2(max(n_max, 1)))))
+        cap = cap_res
         P = len(group)
-        P_cap = 1 << int(np.ceil(np.log2(P)))
+        P_cap = P_cap_res
         Xh = np.asarray(X)
+        intr_np = np.asarray(intr)
         Xv = np.zeros((P_cap, cap, 3), Xh.dtype)
         xv = np.zeros((P_cap, cap, 2), xn.dtype)
         maskv = np.zeros((P_cap, cap), bool)
@@ -726,7 +734,7 @@ def run_incremental(inputs: SfMInputs,
             Xv[bi, :n] = Xh[tid_np[rows]]
             xv[bi, :n] = xn[rows]
             maskv[bi, :n] = True
-            f = float(np.asarray(intr)[inputs.intr_id[v], 0])
+            f = float(intr_np[inputs.intr_id[v], 0])
             max_err[bi] = (cfg.max_err_px / f) ** 2
         key, k2 = jax.random.split(key)
         keys = jax.random.split(k2, P_cap)
@@ -756,16 +764,12 @@ def run_incremental(inputs: SfMInputs,
             C = C.at[jnp.asarray(acc_views)].set(rr.C[acc_idx])
             pose_mask[acc_views] = True
             order_added.extend(int(v) for v in acc_views)
-            touched = []
             for bi in accepted:
                 rows = g_rows[bi]
                 out_rows = rows[~inl_all[bi, :len(rows)]]
                 obs_active[out_rows] = False
-                # every track seen by the new view changed (including ones
-                # the extra ray may now make triangulable)
-                touched.append(tid_np[rows_of_view(group[bi])])
             prof["host_s"] += time.perf_counter() - t_host
-            retriangulate_tracks(np.concatenate(touched))
+            retriangulate()
             added_since_ba += len(accepted)
         else:
             prof["host_s"] += time.perf_counter() - t_host
