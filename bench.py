@@ -156,6 +156,9 @@ def main():
     ba_w8 = run_ba_bench(WEAK8 + ["--mesh", "8", "--point-sharded"])
     ba_1m = run_ba_bench(BIG + ["--mesh", "8", "--point-sharded"],
                          timeout=2400)
+    # compiled C++ Schur-LM on the identical 300/50k problem — the Ceres
+    # stand-in of BASELINE.md's "BA iters/s" row (native/lm_baseline.cpp)
+    ba_cpp = run_ba_bench(PROB + ["--cpp", "--iters", "5"], timeout=1800)
     fb = run_features_bench()
 
     def val(d):
@@ -171,6 +174,18 @@ def main():
         try:
             with open(p) as fh:
                 scale = json.load(fh)
+        except Exception:
+            pass
+
+    # committed distributed-BA communication/memory dossier
+    # (bench_ba_dossier.py — compile-level evidence on the virtual mesh)
+    dossier = None
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BA_DOSSIER.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                dossier = json.load(fh)
         except Exception:
             pass
 
@@ -217,6 +232,8 @@ def main():
                 "with zero communication; the core-scaled key removes that "
                 "bound (raw * 8/min(8,cores), capped at 1) and is an "
                 "ESTIMATE, not a measurement"),
+            "ba_lm_iters_per_s_cpp_baseline": val(ba_cpp),
+            "ba_cpp_detail": ba_cpp and ba_cpp.get("unit"),
             "ba_point_sharded_1m_landmarks_iters_per_s": val(ba_1m),
             "ba_1m_detail": ba_1m and ba_1m.get("unit"),
             "ba_1m_landmark_state_bytes_per_device":
@@ -230,6 +247,16 @@ def main():
                 fb and fb.get("cpu_ransac_pairs_per_s"),
             "features_vs_cpu": fb and fb.get("features_vs_cpu"),
             "ransac_vs_cpu": fb and fb.get("ransac_vs_cpu"),
+            "ba_dossier": dossier and {
+                "per_cg_step_collective_bytes": {
+                    name: {str(r["L"]): r[name]["hlo_per_cg_step_bytes"]
+                           for r in dossier["rows"]}
+                    for name in ("obs_sharded", "point_sharded")},
+                "verified": [r["verified"] for r in dossier["rows"]],
+                "hbm_projection": dossier.get("hbm_projection"),
+                "executed_8m_point_sharded":
+                    dossier.get("executed_8m_point_sharded"),
+            },
             "scale_stress": scale and {
                 k: scale.get(k) for k in
                 ("views", "window", "pairs", "engine", "num_cameras",

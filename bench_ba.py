@@ -40,14 +40,33 @@ def build_problem(n_cams, n_pts, obs_per_pt, seed=0):
     intr[0, :3] = [1200.0, 960.0, 540.0]
     intr[0, 3] = -0.1
 
-    # each point observed by obs_per_pt random cameras
+    # each point observed by obs_per_pt random cameras; cameras that see
+    # the point badly (shallow/negative depth or far off-image) are
+    # redrawn — a real BA problem never contains behind-camera
+    # observations, and a single z~0 row would let one residual dominate
+    # the cost by ~1e30 (breaking the f64-vs-f32 cost agreement the C++
+    # baseline asserts on)
     O = n_pts * obs_per_pt
     pid = np.repeat(np.arange(n_pts), obs_per_pt)
     vid = rng.integers(0, n_cams, O)
-    uv, _ = cameras.project(jnp.asarray(Rm[vid]), jnp.asarray(C[vid]),
-                            jnp.int32(RADIAL_K3), jnp.asarray(intr[0]),
-                            jnp.asarray(X[pid]))
-    uv = np.asarray(uv) + rng.normal(size=(O, 2)) * 0.5
+
+    def proj_np(vid_sub, pid_sub):
+        uv_s, depth_s = cameras.project(
+            jnp.asarray(Rm[vid_sub]), jnp.asarray(C[vid_sub]),
+            jnp.int32(RADIAL_K3), jnp.asarray(intr[0]),
+            jnp.asarray(X[pid_sub]))
+        return np.array(uv_s), np.array(depth_s)
+
+    uv, depth = proj_np(vid, pid)
+    for _ in range(64):
+        bad = ((depth < 5.0)
+               | (np.abs(uv[:, 0] - intr[0, 1]) > 4 * intr[0, 0])
+               | (np.abs(uv[:, 1] - intr[0, 2]) > 4 * intr[0, 0]))
+        if not bad.any():
+            break
+        vid[bad] = rng.integers(0, n_cams, int(bad.sum()))
+        uv[bad], depth[bad] = proj_np(vid[bad], pid[bad])
+    uv = uv + rng.normal(size=(O, 2)) * 0.5
 
     obs = lm.BAObservations(
         view_id=jnp.asarray(vid, jnp.int32),
@@ -115,6 +134,103 @@ def run_cpp_baseline(args):
     }))
 
 
+def make_point_sharded_trial(state, obs, opts, fixed, n_cams, mesh_n,
+                             verbose=False):
+    """Build the point-block-sharded LM trial over an `obs` mesh axis.
+
+    Returns ``(trial, placed_state)`` where ``trial(state, lam)`` runs one
+    damped LM trial step; ``trial.jitted`` / ``trial.example_args`` expose
+    the underlying jitted program + its concrete (sharded) arguments so
+    compile-time analysis (regard3d_tpu/ba/dossier.py) can lower EXACTLY
+    the program the benchmark times."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from regard3d_tpu.ba import lm, sharded
+
+    mesh = Mesh(np.asarray(jax.devices()[:mesh_n]), ("obs",))
+    part = sharded.partition_by_point(obs, state.X, mesh_n,
+                                      num_cams=n_cams, num_intrinsics=1)
+    intr_models = jnp.zeros((1,), jnp.int32).at[obs.intr_id].set(obs.model)
+    imask = lm._intr_dof_mask(intr_models, opts.refine_intrinsics,
+                              state.X.dtype)
+    repl, shrd = P(), P("obs")
+    obs_spec = lm.BAObservations(view_id=shrd, intr_id=shrd, point_id=shrd,
+                                 model=shrd, xy=shrd, weight=shrd)
+    state_spec = lm.BAState(R=repl, C=repl, intr=repl, X=shrd)
+    layout = part.layout
+    if verbose:
+        print("# point-sharded layout:",
+              "gather" if layout is not None else "segment_sum",
+              f"Lloc={part.Lloc} Omax={part.Omax}")
+    lay_spec = lm.BALayout(*(shrd,) * 6) if layout is not None else None
+
+    def body(state, lam, obs_shard, lay):
+        if lay is not None:
+            lay = lm.BALayout(*(a[0] for a in lay))
+        return lm.lm_trial(state, lam, obs_shard, opts, fixed, imask,
+                           axis_name="obs", layout=lay,
+                           point_axis_name=None)
+
+    put = lambda t: jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, shrd)), t)
+    if layout is not None:
+        trial_ = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, repl, obs_spec, lay_spec),
+            out_specs=state_spec))
+        sh_obs, sh_lay = put(part.obs), put(layout)
+        trial = lambda s, lam: trial_(s, lam, sh_obs, sh_lay)
+        extra = (sh_obs, sh_lay)
+    else:
+        trial_ = jax.jit(jax.shard_map(
+            lambda s, lam, o: body(s, lam, o, None), mesh=mesh,
+            in_specs=(state_spec, repl, obs_spec),
+            out_specs=state_spec))
+        sh_obs = put(part.obs)
+        trial = lambda s, lam: trial_(s, lam, sh_obs)
+        extra = (sh_obs,)
+    placed = lm.BAState(R=state.R, C=state.C, intr=state.intr,
+                        X=jax.device_put(part.X,
+                                         NamedSharding(mesh, shrd)))
+    trial.jitted = trial_
+    trial.example_args = (placed, jnp.float32(1e-4)) + extra
+    return trial, placed
+
+
+def make_obs_sharded_trial(state, obs, opts, fixed, mesh_n):
+    """Build the observation-sharded (replicated-state) LM trial; same
+    return contract as ``make_point_sharded_trial``."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from regard3d_tpu.ba import lm, sharded
+
+    mesh = Mesh(np.asarray(jax.devices()[:mesh_n]), ("obs",))
+    obs = sharded.shard_observations(obs, mesh)
+    intr_models = jnp.zeros((1,), jnp.int32).at[obs.intr_id].set(obs.model)
+    imask = lm._intr_dof_mask(intr_models, opts.refine_intrinsics,
+                              state.X.dtype)
+    repl, shrd = P(), P("obs")
+    obs_spec = lm.BAObservations(view_id=shrd, intr_id=shrd, point_id=shrd,
+                                 model=shrd, xy=shrd, weight=shrd)
+    state_spec = lm.BAState(R=repl, C=repl, intr=repl, X=repl)
+
+    def body(state, lam, obs_shard):
+        return lm.lm_trial(state, lam, obs_shard, opts, fixed, imask,
+                           axis_name="obs")
+
+    trial_ = jax.jit(jax.shard_map(body, mesh=mesh,
+                                   in_specs=(state_spec, repl, obs_spec),
+                                   out_specs=state_spec))
+    sh_obs = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, shrd)), obs)
+    trial = lambda s, lam: trial_(s, lam, sh_obs)
+    trial.jitted = trial_
+    trial.example_args = (state, jnp.float32(1e-4), sh_obs)
+    return trial, state
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cams", type=int, default=300)
@@ -178,79 +294,11 @@ def main():
     opts = lm.BAOptions(cg_iterations=args.cg)
 
     if args.mesh and args.point_sharded:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        from regard3d_tpu.ba import sharded
-
-        mesh = Mesh(np.asarray(jax.devices()[:args.mesh]), ("obs",))
-        part = sharded.partition_by_point(obs, state.X, args.mesh,
-                                          num_cams=args.cams,
-                                          num_intrinsics=1)
-        intr_models = jnp.zeros((1,), jnp.int32).at[obs.intr_id].set(
-            obs.model)
-        imask = lm._intr_dof_mask(intr_models, opts.refine_intrinsics,
-                                  state.X.dtype)
-        repl, shrd = P(), P("obs")
-        obs_spec = lm.BAObservations(view_id=shrd, intr_id=shrd,
-                                     point_id=shrd, model=shrd, xy=shrd,
-                                     weight=shrd)
-        state_spec = lm.BAState(R=repl, C=repl, intr=repl, X=shrd)
-        layout = part.layout
-        print("# point-sharded layout:",
-              "gather" if layout is not None else "segment_sum",
-              f"Lloc={part.Lloc} Omax={part.Omax}")
-        lay_spec = lm.BALayout(*(shrd,) * 6) if layout is not None else None
-
-        def body(state, lam, obs_shard, lay):
-            if lay is not None:
-                lay = lm.BALayout(*(a[0] for a in lay))
-            return lm.lm_trial(state, lam, obs_shard, opts, fixed, imask,
-                               axis_name="obs", layout=lay,
-                               point_axis_name=None)
-
-        put = lambda t: jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, NamedSharding(mesh, shrd)), t)
-        if layout is not None:
-            trial_ = jax.jit(jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(state_spec, repl, obs_spec, lay_spec),
-                out_specs=state_spec))
-            sh_obs, sh_lay = put(part.obs), put(layout)
-            trial = lambda s, lam: trial_(s, lam, sh_obs, sh_lay)
-        else:
-            trial_ = jax.jit(jax.shard_map(
-                lambda s, lam, o: body(s, lam, o, None), mesh=mesh,
-                in_specs=(state_spec, repl, obs_spec),
-                out_specs=state_spec))
-            sh_obs = put(part.obs)
-            trial = lambda s, lam: trial_(s, lam, sh_obs)
-        state = lm.BAState(R=state.R, C=state.C, intr=state.intr,
-                           X=jax.device_put(
-                               part.X, NamedSharding(mesh, shrd)))
+        trial, state = make_point_sharded_trial(
+            state, obs, opts, fixed, args.cams, args.mesh, verbose=True)
     elif args.mesh:
-        from jax.sharding import Mesh, PartitionSpec as P
-        from regard3d_tpu.ba import sharded
-
-        mesh = Mesh(np.asarray(jax.devices()[:args.mesh]), ("obs",))
-        obs = sharded.shard_observations(obs, mesh)
-        intr_models = jnp.zeros((1,), jnp.int32).at[obs.intr_id].set(
-            obs.model)
-        imask = lm._intr_dof_mask(intr_models, opts.refine_intrinsics,
-                                  state.X.dtype)
-        repl, shrd = P(), P("obs")
-        obs_spec = lm.BAObservations(view_id=shrd, intr_id=shrd,
-                                     point_id=shrd, model=shrd, xy=shrd,
-                                     weight=shrd)
-        state_spec = lm.BAState(R=repl, C=repl, intr=repl, X=repl)
-
-        def body(state, lam, obs_shard):
-            return lm.lm_trial(state, lam, obs_shard, opts, fixed, imask,
-                               axis_name="obs")
-
-        trial = jax.jit(jax.shard_map(body, mesh=mesh,
-                                      in_specs=(state_spec, repl, obs_spec),
-                                      out_specs=state_spec))
-        trial_ = trial
-        trial = lambda s, lam: trial_(s, lam, obs)
+        trial, state = make_obs_sharded_trial(
+            state, obs, opts, fixed, args.mesh)
     else:
         layout = lm.make_layout(obs, args.cams, args.pts, 1)
         print("# layout:", "gather" if layout is not None else "segment_sum")
