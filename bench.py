@@ -177,6 +177,17 @@ def main():
         except Exception:
             pass
 
+    # committed global-engine accuracy rows (bench_accuracy --engine global)
+    glob = None
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "GLOBAL.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                glob = json.load(fh)
+        except Exception:
+            pass
+
     # committed distributed-BA communication/memory dossier
     # (bench_ba_dossier.py — compile-level evidence on the virtual mesh)
     dossier = None
@@ -247,6 +258,11 @@ def main():
                 fb and fb.get("cpu_ransac_pairs_per_s"),
             "features_vs_cpu": fb and fb.get("features_vs_cpu"),
             "ransac_vs_cpu": fb and fb.get("ransac_vs_cpu"),
+            "global_sfm_accuracy": glob and {
+                "ok": glob.get("ok"),
+                "rows": [{k: r.get(k) for k in
+                          ("dataset", "num_cameras", "ate", "rms_px")}
+                         for r in glob.get("results", [])]},
             "ba_dossier": dossier and {
                 "per_cg_step_collective_bytes": {
                     name: {str(r["L"]): r[name]["hlo_per_cg_step_bytes"]

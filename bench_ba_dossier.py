@@ -133,18 +133,24 @@ def main():
               f"{row['point_sharded']['memory_per_device'].get('peak_bytes',0)/1e9:.2f}GB",
               flush=True)
 
-    # linear fit of per-device peak bytes vs L (argument+temp+output) and
-    # the projected v5e-HBM crossing for each path
-    proj = {}
+    # per-device peak bytes modeled as base + b*L + c*O (the three rows
+    # vary L and O independently, so the 3-parameter fit is exact; a plain
+    # bytes-vs-L fit would conflate landmark growth with observation
+    # growth).  Projection: a Rome16K-like density of 4 obs/landmark.
+    proj = {"model": "peak_bytes = base + b*L + c*O (exact 3-row solve); "
+                     "projection at O = 4*L", "obs_per_landmark": 4}
+    A = np.asarray([[1.0, r["L"], r["O"]] for r in rows], np.float64)
     for name in ("obs_sharded", "point_sharded"):
-        Ls = np.asarray([r["L"] for r in rows], np.float64)
         Bs = np.asarray([r[name]["memory_per_device"].get("peak_bytes", 0)
                          for r in rows], np.float64)
-        b, a = np.polyfit(Ls, Bs, 1)          # bytes ~= a + b*L
-        cross = (HBM_BYTES_V5E - a) / b if b > 0 else float("inf")
+        base, b, c = np.linalg.solve(A, Bs)
+        slope = b + 4.0 * c                    # bytes/landmark at O=4L
+        cross = (HBM_BYTES_V5E - base) / slope if slope > 0 else float("inf")
         proj[name] = {
+            "base_bytes": int(base),
             "bytes_per_landmark_per_device": round(float(b), 2),
-            "base_bytes": int(a),
+            "bytes_per_observation_per_device": round(float(c), 2),
+            "bytes_per_landmark_at_4obs": round(float(slope), 2),
             "landmarks_at_16GB_HBM": (None if not np.isfinite(cross)
                                       else int(cross)),
         }
