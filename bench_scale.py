@@ -48,6 +48,14 @@ def main():
     ap.add_argument("--ba-every", type=int, default=25,
                     help="incremental local-BA cadence (views between BAs)")
     ap.add_argument("--ba-iterations", type=int, default=12)
+    ap.add_argument("--loop", action="store_true", default=True,
+                    help="closed-circuit capture (loop closure; default)")
+    ap.add_argument("--no-loop", dest="loop", action="store_false",
+                    help="open corridor (pure odometry: scale drift is "
+                         "unobservable and ATE grows superlinearly)")
+    ap.add_argument("--retrieval-k", type=int, default=8,
+                    help="retrieval loop-closure pairs per image on top of "
+                         "the window (0 disables)")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
 
@@ -62,11 +70,12 @@ def main():
     from regard3d_tpu.pipeline import triangulation_step as ts
 
     t0 = time.time()
-    ds = synth.make_city(n_cams=args.views, hw=args.hw)
+    ds = synth.make_city(n_cams=args.views, hw=args.hw, loop=args.loop)
     t_render = time.time() - t0
     V = len(ds["images"])
     pairs = synth.window_pairs(V, args.window)
-    print(f"# rendered {V} views in {t_render:.0f}s, "
+    print(f"# rendered {V} views in {t_render:.0f}s "
+          f"({'loop' if args.loop else 'corridor'}), "
           f"{len(pairs)} window pairs", flush=True)
 
     f_prior = 1.03 * ds["f"]
@@ -80,11 +89,14 @@ def main():
             cfg=cm.MatchConfig(ransac_iters=1024),
             focals=np.full(V, f_prior),
             max_keypoints=args.max_keypoints, pairs=pairs,
+            retrieval_k=args.retrieval_k,
             progress=None)
         stage_t["matches_s"] = round(time.time() - t1, 1)
         stage_rss["matches_rss_gb"] = round(peak_rss_gb(), 2)
         print(f"# matching done in {stage_t['matches_s']}s: "
-              f"{mstats['pairs_f']} F-pairs", flush=True)
+              f"{mstats['pairs_f']} F-pairs "
+              f"(+{mstats.get('pairs_retrieval', 0)} retrieval)",
+              flush=True)
 
         intr = np.zeros((1, 9), np.float32)
         intr[0, :3] = [f_prior, ds["hw"] / 2, ds["hw"] / 2]
@@ -115,7 +127,10 @@ def main():
     result = {
         "views": V,
         "window": args.window,
-        "pairs": len(pairs),
+        "loop": args.loop,
+        "retrieval_k": args.retrieval_k,
+        "pairs": len(pairs) + int(mstats.get("pairs_retrieval", 0)),
+        "pairs_retrieval": int(mstats.get("pairs_retrieval", 0)),
         "engine": args.engine,
         "num_cameras": int(pm.sum()),
         "posed_fraction": round(posed_frac, 4),

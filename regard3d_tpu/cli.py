@@ -171,7 +171,10 @@ def cmd_matches(args):
             focals=focals, max_keypoints=args.max_keypoints,
             detector=args.detector,
             progress=_progress("matching"),
-            proc_id=proc_id, proc_count=proc_count)
+            proc_id=proc_id, proc_count=proc_count,
+            pairs=(cm.sequential_pairs(len(images), args.window)
+                   if args.window else None),
+            retrieval_k=args.retrieval_k)
     except Exception as e:
         if proc_id == 0:
             p.fail(obj.id, str(e))
@@ -501,6 +504,14 @@ def build_parser():
                    help="cross-check: keep only mutual nearest neighbours")
     s.add_argument("--max-keypoints", type=int, default=4096)
     s.add_argument("--ransac-iters", type=int, default=1024)
+    s.add_argument("--window", type=int, default=0,
+                   help="sequential pair pruning: pair each view with its "
+                        "next N successors instead of exhaustively "
+                        "(ordered captures at large view counts)")
+    s.add_argument("--retrieval-k", type=int, default=0,
+                   help="with --window: add each image's top-K most "
+                        "similar images (pooled-descriptor retrieval) as "
+                        "pairs — recovers loop closures a window misses")
     s.add_argument("--profile", default=None,
                    help="write a JAX profiler trace to this directory")
     s.set_defaults(fn=cmd_matches)

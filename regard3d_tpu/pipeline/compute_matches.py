@@ -74,6 +74,50 @@ def exhaustive_pairs(n: int) -> List[Tuple[int, int]]:
     return [(i, j) for i in range(n) for j in range(i + 1, n)]
 
 
+def sequential_pairs(n: int, window: int) -> List[Tuple[int, int]]:
+    """Ordered-capture pair pruning: each view pairs with its next
+    ``window`` successors (the large-N alternative to the reference's
+    exhaustive pair loop, src/R3DComputeMatches.cpp:2042)."""
+    return [(i, j) for i in range(n)
+            for j in range(i + 1, min(i + 1 + window, n))]
+
+
+def retrieval_pairs(descs, k: int = 8,
+                    exclude: Optional[set] = None) -> List[Tuple[int, int]]:
+    """Image-retrieval pair augmentation: top-``k`` most similar images per
+    image by pooled-descriptor similarity (one (V,V) MXU matmul).
+
+    A windowed pair list on a sequential capture never connects temporally
+    distant views of the same place, so loop closures — the constraints
+    that bound odometry drift — are lost; exhaustive pairing (the
+    reference's default) recovers them at O(V^2) matching cost.  Retrieval
+    recovers them at O(V^2) DOT PRODUCTS instead (one matmul of pooled
+    descriptors — microseconds on the MXU), the vocab-tree practice of
+    large-scale SfM.  The pooled descriptor is the L2-normalized mean of an
+    image's LIOP descriptors (non-negative histograms, so the mean is a
+    meaningful bag-of-features signature).
+
+    Deterministic given features: every process of a sharded run computes
+    the identical list."""
+    data = jnp.asarray(descs.data)                      # (V, N, D)
+    m = jnp.asarray(descs.mask)[..., None].astype(data.dtype)
+    pooled = (data * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+    pooled = pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+    sim = pooled @ pooled.T                             # (V, V)
+    V = sim.shape[0]
+    sim = sim - 2.0 * jnp.eye(V, dtype=sim.dtype)       # no self-pairs
+    _, nbr = jax.lax.top_k(sim, min(k, V - 1))
+    nbr = np.asarray(nbr)
+    out = set()
+    for i in range(V):
+        for j in nbr[i]:
+            pr = (i, int(j)) if i < int(j) else (int(j), i)
+            if exclude is None or pr not in exclude:
+                out.add(pr)
+    return sorted(out)
+
+
 def save_matches_txt(path: str, matches: Dict[Tuple[int, int], np.ndarray]):
     with open(path, "w") as f:
         for (i, j), m in sorted(matches.items()):
@@ -271,10 +315,15 @@ def geometric_filter(kps, putative: Dict[Tuple[int, int], np.ndarray],
     for cap, blist in sorted(buckets.items()):
         # block size bounded by the live residual-tensor budget; the
         # ransac core chunks its hypothesis sweep (lax.scan, 128 draws a
-        # step), so the bound uses the CHUNKED iteration count, keeping
-        # big blocks (few dispatches) at a bounded footprint
+        # step), so the bound uses the CHUNKED iteration count.  The live
+        # set per chunk is block*chunk*models*cap f32 elements TIMES the
+        # Sampson-error temporaries XLA keeps (~4); the 5-pt essential
+        # solver emits up to 10 models per draw, so the 2^24-element
+        # budget on block*chunk*cap corresponds to ~2.7GB of HBM
+        # (the earlier 2^26 budget ignored the model/temp factors and a
+        # cap-2048 block compiled to a 25GB allocation — HBM OOM)
         chunked_iters = min(cfg.ransac_iters, 128)
-        block = max(1, min(128, (1 << 26) // max(chunked_iters * cap, 1)))
+        block = max(1, min(128, (1 << 24) // max(chunked_iters * cap, 1)))
         block = ((block + n_dev - 1) // n_dev) * n_dev
         for s0 in range(0, len(blist), block):
             group = blist[s0:s0 + block]
@@ -453,8 +502,8 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         detector: str = "fast-akaze",
                         progress=None, mesh=None,
                         proc_id: int = 0, proc_count: int = 1,
-                        pairs: Optional[List[Tuple[int, int]]] = None
-                        ) -> Dict:
+                        pairs: Optional[List[Tuple[int, int]]] = None,
+                        retrieval_k: int = 0) -> Dict:
     """Full compute-matches step on a list of gray images. Returns stats.
 
     With several devices visible, matching and geometric filtering shard
@@ -509,6 +558,15 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
             _wait_for_marker(os.path.join(out_dir, f".feat{p}.done"))
         counts = feat_mod.load_counts(out_dir, len(images))
     kps, descs = feat_mod.load_all_padded(out_dir, len(images), pad_to=256)
+    n_retrieval = 0
+    if retrieval_k and pairs is not None:
+        # augment a pruned (windowed) pair list with retrieval loop-closure
+        # pairs — deterministic from the cached features, so every process
+        # of a sharded run derives the identical list
+        base = set(pairs)
+        extra = retrieval_pairs(descs, retrieval_k, exclude=base)
+        n_retrieval = len(extra)
+        pairs = sorted(base | set(extra))
     my_pairs = pairs
     if proc_count > 1:
         all_pairs = (pairs if pairs is not None
@@ -562,6 +620,8 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
 
     stats = dict(filt.stats)
     stats["keypoints"] = counts
+    if n_retrieval:
+        stats["pairs_retrieval"] = n_retrieval
     stats["elapsed_s"] = time.time() - t0
 
     # per-pair match tables (src/R3DComputeMatches.cpp:2066-2076 parity)
