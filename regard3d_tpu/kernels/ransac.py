@@ -216,18 +216,38 @@ def _e_one(key, x1n, x2n, mask, logalpha0, max_err_sq, iters: int):
     machinery. 5-point samples keep the all-inlier probability high at
     large outlier ratios and are immune to the 8-point planar degeneracy."""
     n = mask.shape[0]
-    data = {"x1": x1n, "x2": x2n}
     idx = _draw_samples(key, mask, iters, 5)
-    models, okm = geometry.fit_essential_5pt(x1n[idx], x2n[idx])
-    models = models.reshape(-1, 3, 3)                     # (iters*10, 3, 3)
-    okm = okm.reshape(-1)
-    resid = geometry.epipolar_dist_f(models, x1n[None], x2n[None])
-    resid = jnp.where(mask[None, :] & okm[:, None], resid, _BIG)
 
-    score = jnp.sum(jnp.minimum(resid, max_err_sq), axis=1)
-    best = jnp.argmin(score)
-    model = models[best]
-    r_best = resid[best]
+    # chunked sweep (64 draws -> <=640 E candidates a step, lax.scan):
+    # the flat (iters*10, N) residual tensor at 2048 iters and a 2048-point
+    # cap compiled to a 15GB einsum intermediate — HBM OOM; chunking keeps
+    # the live set bounded and is bit-exact vs the flat argmin (same draw
+    # order, strict < keeps the earliest minimum)
+    chunk = min(iters, 64)
+    n_chunks = -(-iters // chunk)
+    idx_c = idx[:n_chunks * chunk].reshape(n_chunks, chunk, 5)
+
+    def score_chunk(carry, idx_one):
+        b_score, b_model, b_ok = carry
+        models, okm_c = geometry.fit_essential_5pt(x1n[idx_one],
+                                                   x2n[idx_one])
+        models = models.reshape(-1, 3, 3)                 # (chunk*10, 3, 3)
+        okm_c = okm_c.reshape(-1)
+        resid = geometry.epipolar_dist_f(models, x1n[None], x2n[None])
+        resid = jnp.where(mask[None, :] & okm_c[:, None], resid, _BIG)
+        score = jnp.sum(jnp.minimum(resid, max_err_sq), axis=1)
+        b = jnp.argmin(score)
+        better = score[b] < b_score
+        return (jnp.where(better, score[b], b_score),
+                jnp.where(better, models[b], b_model),
+                jnp.where(better, okm_c[b], b_ok)), None
+
+    init = (jnp.asarray(_BIG * n, x1n.dtype),
+            jnp.zeros((3, 3), x1n.dtype), jnp.zeros((), bool))
+    (_, model, ok_best), _ = jax.lax.scan(score_chunk, init, idx_c)
+    r_best = jnp.where(mask & ok_best,
+                       geometry.epipolar_dist_f(model[None], x1n[None],
+                                                x2n[None])[0], _BIG)
 
     thr_sq, log_nfa, _ = _nfa_threshold(r_best, mask, 5, logalpha0, 1.0,
                                         max_err_sq)
@@ -246,7 +266,7 @@ def _e_one(key, x1n, x2n, mask, logalpha0, max_err_sq, iters: int):
     log_nfa = jnp.minimum(nfa2, log_nfa)
 
     num = jnp.sum(inliers.astype(jnp.int32))
-    valid = (log_nfa < 0.0) & (num >= 6) & okm[best]
+    valid = (log_nfa < 0.0) & (num >= 6) & ok_best
     return RansacResult(model, inliers, num, thr_sq, log_nfa, valid)
 
 
