@@ -116,8 +116,6 @@ def run_dataset(name: str, seed: int = 0, engine: str = "incremental2",
 
 
 def main():
-    from regard3d_tpu import runtime
-    runtime.setup()   # f32 matmuls + persistent compile cache (CLI parity)
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets",
                     default="castle,fountain,castle_rk3,fountain_rk3")
@@ -132,9 +130,18 @@ def main():
     ap.add_argument("--no-warm-split", dest="warm_split",
                     action="store_false",
                     help="skip the second (warm-cache) timing run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (frees the chip for a "
+                         "concurrent TPU run; results are backend-"
+                         "independent up to f32 reduction order)")
     ap.add_argument("--out", default=GOLDEN_PATH if "--update-golden"
                     in sys.argv else None)
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from regard3d_tpu import runtime
+    runtime.setup()   # f32 matmuls + persistent compile cache (CLI parity)
 
     golden = None
     if os.path.exists(GOLDEN_PATH) and not args.update_golden:

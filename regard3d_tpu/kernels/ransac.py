@@ -385,26 +385,49 @@ def acransac_resection_batch(keys, X, xn, mask, max_err,
 
 def _resection_one(key, X, xn, mask, max_err, iters: int,
                    solver: str) -> ResectionResult:
-    if solver == "p3p":
-        idx = _draw_samples(key, mask, iters, 3)
-        Rp, Cp, okp = geometry.p3p_grunert(X[idx], xn[idx])
-        R = Rp.reshape(-1, 3, 3)
-        C = Cp.reshape(-1, 3)
-        okm = okp.reshape(-1)
-    else:
-        idx = _draw_samples(key, mask, iters, 6)
-        R, C, okm = geometry.resection_dlt(X[idx], xn[idx])
-    resid = geometry.reprojection_err_normalized(R, C, X[None], xn[None])
-    resid = jnp.where(mask[None, :] & okm[:, None], resid, _BIG)
-    score = jnp.sum(jnp.minimum(resid, max_err), axis=1)
-    best = jnp.argmin(score)
-    r_best = resid[best]
+    s = 3 if solver == "p3p" else 6
+    idx = _draw_samples(key, mask, iters, s)
+
+    # chunked sweep (lax.scan, 128 draws a step — bit-exact vs the flat
+    # argmin, same bound rationale as _e_one: the flat (iters*models, N)
+    # residual tensor vmapped over a resection group is the SfM stage's
+    # biggest live set)
+    chunk = min(iters, 128)
+    n_chunks = -(-iters // chunk)
+    idx_c = idx[:n_chunks * chunk].reshape(n_chunks, chunk, s)
+
+    def score_chunk(carry, idx_one):
+        b_score, b_R, b_C, b_ok = carry
+        if solver == "p3p":
+            Rp, Cp, okp = geometry.p3p_grunert(X[idx_one], xn[idx_one])
+            Rc = Rp.reshape(-1, 3, 3)
+            Cc = Cp.reshape(-1, 3)
+            okc = okp.reshape(-1)
+        else:
+            Rc, Cc, okc = geometry.resection_dlt(X[idx_one], xn[idx_one])
+        resid = geometry.reprojection_err_normalized(Rc, Cc, X[None],
+                                                     xn[None])
+        resid = jnp.where(mask[None, :] & okc[:, None], resid, _BIG)
+        score = jnp.sum(jnp.minimum(resid, max_err), axis=1)
+        b = jnp.argmin(score)
+        better = score[b] < b_score
+        return (jnp.where(better, score[b], b_score),
+                jnp.where(better, Rc[b], b_R),
+                jnp.where(better, Cc[b], b_C),
+                jnp.where(better, okc[b], b_ok)), None
+
+    n = mask.shape[0]
+    init = (jnp.asarray(_BIG * n, X.dtype), jnp.zeros((3, 3), X.dtype),
+            jnp.zeros((3,), X.dtype), jnp.zeros((), bool))
+    (_, R_best, C_best, ok_best), _ = jax.lax.scan(score_chunk, init, idx_c)
+    r_best = jnp.where(mask & ok_best, geometry.reprojection_err_normalized(
+        R_best[None], C_best[None], X[None], xn[None])[0], _BIG)
     inliers = mask & (r_best <= max_err)
 
     # Gauss-Newton polish on the inlier set (DLT alone is noise-sensitive),
     # then recount inliers with the refined pose
     w = inliers.astype(X.dtype)
-    Rb, Cb = geometry.refine_pose(R[best], C[best], X, xn, w, iters=10)
+    Rb, Cb = geometry.refine_pose(R_best, C_best, X, xn, w, iters=10)
     r2 = geometry.reprojection_err_normalized(Rb[None], Cb[None], X[None],
                                               xn[None])[0]
     r2 = jnp.where(mask, r2, _BIG)
@@ -417,9 +440,9 @@ def _resection_one(key, X, xn, mask, max_err, iters: int,
     inliers3 = mask & (r3 <= max_err)
 
     better = jnp.sum(inliers3) >= jnp.sum(inliers)
-    Rf = jnp.where(better, Rb2, R[best])
-    Cf = jnp.where(better, Cb2, C[best])
+    Rf = jnp.where(better, Rb2, R_best)
+    Cf = jnp.where(better, Cb2, C_best)
     inl = jnp.where(better, inliers3, inliers)
     num = jnp.sum(inl.astype(jnp.int32))
-    valid = okm[best] & (num >= 7)
+    valid = ok_best & (num >= 7)
     return ResectionResult(Rf, Cf, inl, num, valid)
