@@ -843,4 +843,7 @@ def run_incremental(inputs: SfMInputs,
     }
     if pod_size:
         stats["stellar_pod_size"] = pod_size
+    stats["init_hub"] = int(i0)
+    if pod_size == 0:
+        stats["init_pair"] = (int(i0), int(j0))
     return SfMResult(R, C, pose_mask, X, track_ok, obs_active, intr, stats)
