@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--ba-every", type=int, default=25,
                     help="incremental local-BA cadence (views between BAs)")
     ap.add_argument("--ba-iterations", type=int, default=12)
+    ap.add_argument("--final-ba-iterations", type=int, default=100,
+                    help="post-growth full-BA polish; loop-closure drift "
+                         "redistribution happens here")
     ap.add_argument("--loop", action="store_true", default=True,
                     help="closed-circuit capture (loop closure; default)")
     ap.add_argument("--no-loop", dest="loop", action="store_false",
@@ -106,10 +109,10 @@ def main():
             out, tri, ds["images"],
             intr_id=np.zeros(V, np.int32), intr=intr,
             models=np.asarray([PINHOLE], np.int32),
-            params=ts.TriangulationParams(engine=args.engine,
-                                          refine_intrinsics=True,
-                                          ba_every=args.ba_every,
-                                          ba_iterations=args.ba_iterations))
+            params=ts.TriangulationParams(
+                engine=args.engine, refine_intrinsics=True,
+                ba_every=args.ba_every, ba_iterations=args.ba_iterations,
+                final_ba_iterations=args.final_ba_iterations))
         stage_t["sfm_s"] = round(time.time() - t2, 1)
         stage_rss["sfm_rss_gb"] = round(peak_rss_gb(), 2)
         scene = load_npz(os.path.join(tri, "scene.npz"))

@@ -52,6 +52,8 @@ class TriangulationParams:
     ba_every: int = 3                 # incremental: local BA cadence —
                                       # raise for 1000-view-class scenes
     ba_iterations: int = 20
+    final_ba_iterations: int = 40     # the post-growth polish; loop-closed
+                                      # captures redistribute drift here
 
 
 def build_sfm_inputs(matches_dir: str, num_images: int,
@@ -199,7 +201,8 @@ def run_triangulation(matches_dir: str, out_dir: str,
                 refine_intrinsics=params.refine_intrinsics,
                 initializer=params.initializer,
                 ba_every=params.ba_every,
-                ba_iterations=params.ba_iterations), seed=seed,
+                ba_iterations=params.ba_iterations,
+                final_ba_iterations=params.final_ba_iterations), seed=seed,
             center_priors=(center_priors if params.use_gps else None))
 
     if params.dist_ba:

@@ -96,7 +96,7 @@ def _normalized_xy(inputs: SfMInputs, intr) -> jnp.ndarray:
 
 def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
                          key, cfg: IncrementalConfig, num_views: int,
-                         xn: np.ndarray, top_k: int = 50,
+                         xn: np.ndarray, top_k: int = 200,
                          attempts: int = 2):
     """Batched MaxPair initializer: ONE padded E-batch + H-batch dispatch
     validates the ``top_k`` most covisible candidate pairs, one batched
@@ -108,6 +108,12 @@ def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
     initializer's min-angle behaviour).
 
     Returns (i, j, Rrel, trel, oi, oj, inl) or None."""
+    # top_k must reach past the most-covisible pairs: on a loop-closure
+    # capture the highest-count pairs are coincident revisits (same spot,
+    # ~zero baseline) that the parallax gate rightly rejects — with only
+    # 50 candidates every one can be a revisit and init collapses.
+    # Blocks short-circuit on the first viable pair, so the common case
+    # still costs one dispatch.
     cand, counts = tracks_mod.covisibility_pairs(table, num_views,
                                                  min_count=30)
     pairs = [(int(c), int(i), int(j)) for c, (i, j) in zip(counts, cand)]
