@@ -60,6 +60,10 @@ def main():
                     help="retrieval loop-closure pairs per image on top of "
                          "the window (0 disables)")
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--workdir", default=None,
+                    help="persistent work dir: render + matching artifacts "
+                         "are cached and reused on rerun (default: fresh "
+                         "temp dir, as the gate artifact requires)")
     args = ap.parse_args()
 
     from regard3d_tpu import runtime
@@ -73,7 +77,20 @@ def main():
     from regard3d_tpu.pipeline import triangulation_step as ts
 
     t0 = time.time()
-    ds = synth.make_city(n_cams=args.views, hw=args.hw, loop=args.loop)
+    render_npz = (os.path.join(args.workdir, "render.npz")
+                  if args.workdir else None)
+    if render_npz and os.path.exists(render_npz):
+        z = np.load(render_npz)
+        ds = {k: z[k] for k in z.files}
+        ds["images"] = list(ds["images"])
+        ds["f"] = float(ds["f"])
+        ds["hw"] = int(ds["hw"])
+    else:
+        ds = synth.make_city(n_cams=args.views, hw=args.hw, loop=args.loop)
+        if render_npz:
+            os.makedirs(args.workdir, exist_ok=True)
+            np.savez(render_npz, images=np.stack(ds["images"]),
+                     Cs=ds["Cs"], f=ds["f"], hw=ds["hw"])
     t_render = time.time() - t0
     V = len(ds["images"])
     pairs = synth.window_pairs(V, args.window)
@@ -84,22 +101,35 @@ def main():
     f_prior = 1.03 * ds["f"]
     stage_t = {}
     stage_rss = {"render_rss_gb": round(peak_rss_gb(), 2)}
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp_ctx = (tempfile.TemporaryDirectory() if args.workdir is None
+               else None)
+    tmp = tmp_ctx.name if tmp_ctx else args.workdir
+    try:
         out = os.path.join(tmp, "matches")
         t1 = time.time()
-        mstats = cm.run_compute_matches(
-            ds["images"], out, threshold=0.0005,
-            cfg=cm.MatchConfig(ransac_iters=1024),
-            focals=np.full(V, f_prior),
-            max_keypoints=args.max_keypoints, pairs=pairs,
-            retrieval_k=args.retrieval_k,
-            progress=None)
+        done_marker = os.path.join(out, ".matches_done")
+        if args.workdir and os.path.exists(done_marker):
+            mstats = json.load(open(done_marker))
+        else:
+            mstats = cm.run_compute_matches(
+                ds["images"], out, threshold=0.0005,
+                cfg=cm.MatchConfig(ransac_iters=1024),
+                focals=np.full(V, f_prior),
+                max_keypoints=args.max_keypoints, pairs=pairs,
+                retrieval_k=args.retrieval_k,
+                progress=None, release_memory=True)
+            if args.workdir:
+                with open(done_marker, "w") as fh:
+                    json.dump({k: v for k, v in mstats.items()
+                               if isinstance(v, (int, float, str))}, fh)
         stage_t["matches_s"] = round(time.time() - t1, 1)
         stage_rss["matches_rss_gb"] = round(peak_rss_gb(), 2)
         print(f"# matching done in {stage_t['matches_s']}s: "
               f"{mstats['pairs_f']} F-pairs "
               f"(+{mstats.get('pairs_retrieval', 0)} retrieval)",
               flush=True)
+        # matching executables are dead weight for the SfM stage
+        runtime.release_stage_memory()
 
         intr = np.zeros((1, 9), np.float32)
         intr[0, :3] = [f_prior, ds["hw"] / 2, ds["hw"] / 2]
@@ -116,6 +146,9 @@ def main():
         stage_t["sfm_s"] = round(time.time() - t2, 1)
         stage_rss["sfm_rss_gb"] = round(peak_rss_gb(), 2)
         scene = load_npz(os.path.join(tri, "scene.npz"))
+    finally:
+        if tmp_ctx:
+            tmp_ctx.cleanup()
 
     pm = np.asarray(scene.poses.mask)
     C_est = np.asarray(scene.poses.C)[pm]

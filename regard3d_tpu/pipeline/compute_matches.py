@@ -503,7 +503,8 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
                         progress=None, mesh=None,
                         proc_id: int = 0, proc_count: int = 1,
                         pairs: Optional[List[Tuple[int, int]]] = None,
-                        retrieval_k: int = 0) -> Dict:
+                        retrieval_k: int = 0,
+                        release_memory: bool = False) -> Dict:
     """Full compute-matches step on a list of gray images. Returns stats.
 
     With several devices visible, matching and geometric filtering shard
@@ -574,6 +575,15 @@ def run_compute_matches(images: Sequence[np.ndarray], out_dir: str,
         my_pairs = all_pairs[proc_id::proc_count]
     putative = match_all_pairs(kps, descs, cfg, pairs=my_pairs,
                                progress=progress, mesh=mesh)
+    if release_memory:
+        # detector+matcher executables are dead weight for the RANSAC
+        # filters (disjoint programs); at many-image scale the compiled-
+        # program caches dominate host RSS (~1.6 GB after matching a
+        # 200-view set) and the peak lands inside the filter phase.  Large
+        # one-shot runs (bench_scale) opt in; small interactive runs keep
+        # the caches warm for reruns.
+        from regard3d_tpu import runtime as _rt
+        _rt.release_stage_memory()
     image_sizes = np.asarray([[im.shape[1], im.shape[0]] for im in images])
     filt = geometric_filter(kps, putative, image_sizes, focals, cfg,
                             progress=progress, mesh=mesh)

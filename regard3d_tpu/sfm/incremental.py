@@ -117,11 +117,26 @@ def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
     cand, counts = tracks_mod.covisibility_pairs(table, num_views,
                                                  min_count=30)
     pairs = [(int(c), int(i), int(j)) for c, (i, j) in zip(counts, cand)]
-    items = []
-    for cnt, i, j in pairs[:top_k]:
+    # Coincident-revisit demotion: on a loop-closure capture the MOST
+    # covisible pairs are two passes over the same spot — near-identical
+    # poses whose matches have ~zero image displacement and ~zero
+    # triangulation angle.  Seeding on one strands the model (the
+    # min-angle triangulation gate rightly keeps ~nothing).  Median
+    # matched-keypoint displacement is a few-microsecond host-side proxy
+    # that separates them from real-baseline pairs BEFORE the expensive
+    # E sweep: demoted pairs go to the back of the candidate order (they
+    # remain fine for matching and BA, just not for initialization).
+    promoted, demoted = [], []
+    for cnt, i, j in pairs[:top_k * 4]:
         oi, oj = _pair_obs(inputs, i, j)
-        if len(oi) >= 16:
-            items.append((i, j, oi, oj))
+        if len(oi) < 16:
+            continue
+        f = float(inputs.intr[inputs.intr_id[i], 0])
+        disp_px = f * np.median(
+            np.linalg.norm(xn[oi] - xn[oj], axis=1))
+        (demoted if disp_px < 2.0 * cfg.max_err_px else promoted).append(
+            (i, j, oi, oj))
+    items = (promoted + demoted)[:top_k]
     if not items:
         return None
     P = len(items)
@@ -153,6 +168,7 @@ def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
     h_ratio_threshold = 0.92
     best_low_parallax = None
     best_any = None
+    best_scored = None     # (score, out) over ALL viable candidates
     # fixed (BLOCK, cap) chunks: candidate blocks are tried in
     # covisibility order and the first viable pair short-circuits the
     # rest — one E/H/decompose compile serves every block, and the
@@ -207,16 +223,7 @@ def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
             Rb_np, tb_np = np.asarray(Rb), np.asarray(tb)
             frac = np.asarray(nval) / np.maximum(e_num, 1)
 
-            # rank: covisibility order, planar pairs demoted to the back
-            order = ([bi for bi in range(Pb)
-                      if not (h_valid[bi]
-                              and h_num[bi] >= h_ratio_threshold
-                              * maskb[bi].sum())]
-                     + [bi for bi in range(Pb)
-                        if (h_valid[bi]
-                            and h_num[bi] >= h_ratio_threshold
-                            * maskb[bi].sum())])
-            for bi in order:
+            for bi in range(Pb):
                 i, j, oi, oj = items[s0 + bi]
                 if not e_valid[bi] or e_num[bi] < cfg.min_initial_inliers:
                     continue
@@ -241,14 +248,48 @@ def _select_initial_pose(inputs: SfMInputs, table: tracks_mod.TrackTable,
                 med_deg = float(np.degrees(np.median(np.arccos(cosang))))
                 out = (i, j, Rb_np[bi], tb_np[bi], oi, oj, inl)
                 if med_deg < cfg.min_angle_deg:
-                    if best_low_parallax is None:
-                        best_low_parallax = out
+                    # keep the HIGHEST-parallax gated candidate, not the
+                    # first: covisibility order puts coincident loop-
+                    # closure revisits (same spot, ~0 deg rays, nothing
+                    # triangulable) at the front, and initializing on one
+                    # strands the whole reconstruction at 2 views/1 track
+                    if (best_low_parallax is None
+                            or med_deg > best_low_parallax[0]):
+                        best_low_parallax = (med_deg, out)
                     continue
-                return out
+                # viable — but do NOT return the first one: a pair that
+                # scrapes past min-angle (RANSAC-noise flaky near the
+                # threshold) triangulates marginally and can strand the
+                # model, while a solidly-wider pair a block later seeds
+                # hundreds of tracks.  Score inliers x clamped median
+                # angle, planar-dominated pairs heavily penalized
+                # (H explaining >=92% of matches = rotation/plane
+                # degenerate, OpenMVG drops these).
+                planar = (h_valid[bi]
+                          and h_num[bi] >= h_ratio_threshold
+                          * maskb[bi].sum())
+                score = (e_num[bi] * np.radians(min(med_deg, 10.0))
+                         * (0.1 if planar else 1.0))
+                if best_scored is None or score > best_scored[0]:
+                    best_scored = (score, med_deg, out)
+            if best_scored is not None:
+                # further same-block attempts only re-draw RANSAC noise
+                break
+        # stop scanning once a solidly-wide viable pair is in hand
+        # (candidates are covisibility-sorted: later blocks have fewer
+        # matches and rarely score higher); a merely-marginal best keeps
+        # the scan going
+        if (best_scored is not None
+                and best_scored[1] >= 1.5 * cfg.min_angle_deg):
+            break
+    if best_scored is not None:
+        return best_scored[2]
     if best_low_parallax is not None:
         # everything is low-parallax (e.g. pure forward motion with a
-        # short window): best candidate rather than failing outright
-        return best_low_parallax
+        # short window): the HIGHEST-parallax candidate — after the
+        # coincident-pair demotion above this is a real-baseline pair
+        # whenever one exists in the pool
+        return best_low_parallax[1]
     if best_any is not None:
         _, bi, Rb_b, tb_b, inl = best_any
         i, j, oi, oj = items[bi]

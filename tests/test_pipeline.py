@@ -271,3 +271,25 @@ def test_html_reports(tmp_path):
         keypoint_counts=[100, 200], image_names=["a.jpg", "b.jpg"])
     html = open(m).read()
     assert "b.jpg" in html and "0.80" in html and "num_pairs" in html
+
+
+@pytest.mark.medium
+def test_release_memory_identical_artifacts(tmp_path, rng):
+    """release_memory=True (bench_scale's stage-boundary cache drop,
+    runtime.release_stage_memory) must not change any artifact: the cleared
+    compiled-program caches are an optimization layer only, and per-pair
+    RANSAC keys make the filters deterministic across recompiles."""
+    scene = render_scene(rng, n_cams=3)
+    outs = []
+    for tag, rel in (("a", False), ("b", True)):
+        out = str(tmp_path / tag)
+        cm.run_compute_matches(
+            scene["images"], out, threshold=0.0001,
+            cfg=cm.MatchConfig(ransac_iters=64),
+            focals=np.full(len(scene["images"]), scene["f"]),
+            max_keypoints=1024, release_memory=rel)
+        outs.append(out)
+    for fn in ("matches.putative.txt", "matches.f.txt", "matches.e.txt"):
+        with open(os.path.join(outs[0], fn)) as fa, \
+                open(os.path.join(outs[1], fn)) as fb:
+            assert fa.read() == fb.read(), fn
